@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] plus the full KG pipeline
+on a deterministic synthetic corpus, and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "triples_per_sec": ...}
+
+Timing excludes JVM startup (session built first, one warmup action).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pricing_summary",
+    "orders_lineitem_join",
+    "dim_broadcast_join",
+    "exists_semi_join",
+    "first_order_window",
+    "salted_group_agg",
+    "supplier_date_range",
+    "dedup_exact",
+    "dedup_minhash_docs",
+    "simhash_docs",
+    "ann_topk_bruteforce",
+    "ann_topk_lsh",
+    "token_stats_total",
+    "doc_fingerprints",
+    "multimodal_decode_stub",
+]
+
+KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "6000"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from ocds_entity_extract_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup action
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        el = time.time() - t0
+        timings[name] = round(el, 3)
+        total += el
+        print(f"# {name}: {n} rows in {el:.2f}s", file=sys.stderr)
+
+    # KG pipeline throughput (pages -> triples) on the seeded corpus
+    from ocds_entity_extract_spark.datagen import generate_corpus
+    from ocds_entity_extract_spark.plans.pipeline import build_triples
+    from ocds_entity_extract_spark.schemas import PAGES_SCHEMA
+
+    pages_rows, _, _ = generate_corpus(n_pages=KG_PAGES, seed=42)
+    pages = spark.createDataFrame(pages_rows, schema=PAGES_SCHEMA).repartition(
+        cpus * 2
+    )
+    t0 = time.time()
+    n_triples = build_triples(spark, pages).triples.count()
+    kg_el = time.time() - t0
+    timings["kg_pipeline"] = round(kg_el, 3)
+    total += kg_el
+    tps = n_triples / kg_el if kg_el > 0 else 0.0
+    pps = KG_PAGES / kg_el if kg_el > 0 else 0.0
+    print(
+        f"# kg_pipeline: {n_triples} triples from {KG_PAGES} pages in "
+        f"{kg_el:.2f}s ({tps:.0f} triples/s)",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_kg_pipeline_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "kg_pages": KG_PAGES,
+                "kg_triples": n_triples,
+                "triples_per_sec": round(tps, 1),
+                "pages_per_sec": round(pps, 1),
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,321 @@
+"""Deterministic synthetic Common-Crawl-style page corpus + golden triples.
+
+Generates the exact `input_hint` table shape
+``pages(url string, warc_ts timestamp, html binary, text string, lang string)``
+with entity names embedded in HTML templates so the golden (subj, pred, obj)
+triple set is derivable *by construction* (SURVEY.md §5.2, FIXTURES.md §1/§3).
+
+Design properties:
+- seed-deterministic (random.Random(seed)); same seed -> byte-identical corpus.
+- entity universe: persons, companies (legal suffixes ≙ laundry.isCompany
+  surface, reference extract.js:28), institutions (keyword names ≙ the
+  subclass rules, reference extract.js:859-873).
+- alias variants (suffix-drop, suffix-abbrev, place-drop, middle-name-drop)
+  exercise MinHash-LSH linking + connected-components canonicalization.
+- one deliberately HOT domain (~25% of pages) and one HOT entity (~15% of
+  pages) so skew handling (salting / AQE skew join) is actually exercised.
+- membership sentences "X, director general de Y" -> memberOf edges
+  (analogue of the reference's six membership constructors,
+  reference extract.js:1102-1218).
+"""
+
+from __future__ import annotations
+
+import random
+import re
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta, timezone
+
+from ocds_entity_extract_spark.functions.text import _ACC_DST, _ACC_SRC
+
+_TRANS = str.maketrans(_ACC_SRC, _ACC_DST)
+_NON_ALNUM = re.compile(r"[^a-z0-9]+")
+
+FIRST = ["Juan", "María", "José", "Guadalupe", "Fernando", "Alejandra", "Carlos",
+         "Verónica", "Miguel", "Sofía", "Andrés", "Lucía", "Ricardo", "Elena",
+         "Héctor", "Patricia", "Raúl", "Gabriela", "Óscar", "Beatriz"]
+LAST = ["García", "Martínez", "Hernández", "López", "González", "Pérez",
+        "Sánchez", "Ramírez", "Torres", "Flores", "Rivera", "Vázquez",
+        "Jiménez", "Morales", "Ortiz", "Gutiérrez", "Chávez", "Ramos",
+        "Mendoza", "Aguilar"]
+CO_STEM = ["Grupo", "Constructora", "Comercializadora", "Distribuidora",
+           "Industrias", "Operadora", "Desarrollos", "Servicios", "Proveedora",
+           "Corporativo", "Farmacéutica", "Transportes", "Tecnologías",
+           "Alimentos", "Energéticos"]
+CO_NAME = ["Aurora", "del Norte", "Pacífico", "Azteca", "Monterrey", "Delta",
+           "Omega", "Balderas", "Victoria", "Galván", "Zenit", "Orión",
+           "Nacional", "Continental", "Meridiano"]
+CO_SUFFIX = ["S.A. de C.V.", "S. de R.L.", "S.C.", "S.A.B. de C.V.", "S.A."]
+INST_KW = ["Secretaría", "Instituto", "Universidad", "Comisión", "Consejo",
+           "Dirección", "Hospital", "Tribunal", "Fondo", "Banco"]
+INST_TOPIC = ["de Salud", "de Educación Pública", "de Energía", "Nacional Electoral",
+              "de Transparencia", "de Cultura", "del Medio Ambiente",
+              "de Comunicaciones", "de Hacienda", "de Desarrollo Social"]
+PLACES = ["Jalisco", "Nuevo León", "Oaxaca", "Chihuahua", "Yucatán", "Puebla",
+          "Sonora", "Veracruz", "Querétaro", "Campeche"]
+ROLES = ["director general", "titular", "presidente", "gerente"]
+DOMAINS = ["noticias-popular.example.mx", "diario-sur.example.mx",
+           "portal-gob.example.mx", "economia-hoy.example.mx",
+           "vanguardia.example.mx", "expansion-web.example.mx"]
+HOT_DOMAIN = DOMAINS[0]
+LANGS = ["es", "es", "es", "es", "en", "pt"]  # reference is Spanish-centric
+
+
+def simple_name_py(s: str) -> str:
+    """Python mirror of functions.text.simple_name (slug). Uses the SAME
+    accent translate table as the Spark Column version so the two can never
+    disagree — exact agreement is tested in test_text_fns."""
+    t = s.translate(_TRANS).lower()
+    return _NON_ALNUM.sub("-", t).strip("-")
+
+
+@dataclass
+class Entity:
+    name: str
+    etype: str                       # person | company | institution
+    variants: list[str] = field(default_factory=list)  # alias surfaces
+
+    @property
+    def all_surfaces(self) -> list[str]:
+        return [self.name, *self.variants]
+
+    @property
+    def canonical_id(self) -> str:
+        return min(simple_name_py(s) for s in self.all_surfaces)
+
+
+def _shingle_set(slug: str, n: int = 3) -> frozenset[str]:
+    if len(slug) < n:
+        return frozenset({slug})
+    return frozenset(slug[i:i + n] for i in range(len(slug) - n + 1))
+
+
+class _Universe:
+    """Entity registry enforcing linker-consistent separation: no two
+    DISTINCT entities (or their aliases) may have slug shingle-containment
+    >= 0.75 — i.e. the golden truth never asks the linker to distinguish
+    pairs below its own resolution (containment threshold 0.80)."""
+
+    def __init__(self) -> None:
+        self.ents: list[Entity] = []
+        self._slugs: set[str] = set()
+        self._shingles: list[frozenset[str]] = []
+
+    def _conflicts(self, slug: str) -> bool:
+        if slug in self._slugs:
+            return True
+        sh = _shingle_set(slug)
+        for other in self._shingles:
+            inter = len(sh & other)
+            if inter / min(len(sh), len(other)) >= 0.75:
+                return True
+        return False
+
+    def _register(self, slug: str) -> None:
+        self._slugs.add(slug)
+        self._shingles.append(_shingle_set(slug))
+
+    def add(self, name: str, etype: str) -> Entity | None:
+        slug = simple_name_py(name)
+        if self._conflicts(slug):
+            return None
+        self._register(slug)
+        e = Entity(name=name, etype=etype)
+        self.ents.append(e)
+        return e
+
+    def add_alias(self, e: Entity, surface: str) -> None:
+        """Attach alias iff it collides with nobody OUTSIDE its own group
+        (inside-group similarity is the point)."""
+        slug = simple_name_py(surface)
+        own = {simple_name_py(s) for s in e.all_surfaces}
+        if slug in own or slug in self._slugs:
+            return
+        sh = _shingle_set(slug)
+        own_sh = [_shingle_set(s) for s in own]
+        for other in self._shingles:
+            if other in own_sh:
+                continue
+            inter = len(sh & other)
+            if inter / min(len(sh), len(other)) >= 0.75:
+                return
+        self._register(slug)
+        e.variants.append(surface)
+
+
+def _mk_entities(rng: random.Random, n_person: int, n_company: int,
+                 n_inst: int) -> _Universe:
+    uni = _Universe()
+    ents = uni.ents
+    tries = 0
+    while sum(e.etype == "person" for e in ents) < n_person and tries < 10_000:
+        tries += 1
+        name = f"{rng.choice(FIRST)} {rng.choice(LAST)} {rng.choice(LAST)}"
+        e = uni.add(name, "person")
+        if e and rng.random() < 0.30:          # middle-name-drop alias
+            uni.add_alias(e, " ".join(name.split()[:2]))
+    while sum(e.etype == "company" for e in ents) < n_company and tries < 20_000:
+        tries += 1
+        stem = f"{rng.choice(CO_STEM)} {rng.choice(CO_NAME)} {rng.choice(CO_NAME)}"
+        suffix = rng.choice(CO_SUFFIX)
+        e = uni.add(f"{stem} {suffix}", "company")
+        if e:
+            r = rng.random()
+            if r < 0.25:                        # suffix-drop alias
+                uni.add_alias(e, stem)
+            elif r < 0.45:                      # suffix-abbrev alias
+                uni.add_alias(e, f"{stem} {suffix.replace('.', '')}")
+    while sum(e.etype == "institution" for e in ents) < n_inst and tries < 30_000:
+        tries += 1
+        base = f"{rng.choice(INST_KW)} {rng.choice(INST_TOPIC)}"
+        if rng.random() < 0.5:
+            full = f"{base} de {rng.choice(PLACES)}"
+            e = uni.add(full, "institution")
+            if e and rng.random() < 0.5:        # place-drop alias
+                uni.add_alias(e, base)
+        else:
+            uni.add(base, "institution")
+    return uni
+
+
+_HTML_TMPL = """<!DOCTYPE html>
+<html><head><title>{title}</title>
+<script>var trk={{id:{pid}}};function noise(){{return "IGNORED SCRIPT TEXT";}}</script>
+<style>.m{{color:red}}</style>
+</head><body>
+<nav>inicio &middot; secciones &middot; contacto</nav>
+<article>
+{paras}
+</article>
+<footer>derechos reservados &copy; 2025</footer>
+</body></html>"""
+
+
+def generate_corpus(n_pages: int, seed: int = 42,
+                    n_person: int = 60, n_company: int = 80, n_inst: int = 60):
+    """Build the corpus. Returns (pages_rows, golden_triples, aux) where
+    pages_rows is a list of dicts matching PAGES_SCHEMA, golden_triples a
+    set of (subj, pred, obj), aux a dict with entities + classifier_override
+    rows + membership facts.
+    """
+    rng = random.Random(seed)
+    uni = _mk_entities(rng, n_person, n_company, n_inst)
+    ents = uni.ents
+    persons = [e for e in ents if e.etype == "person"]
+    orgs = [e for e in ents if e.etype != "person"]
+    hot_entity = orgs[0]
+
+    # classifier-override CSV rows (FIXTURES.md §2): suffix-less companies
+    # that the heuristic would misread as persons. Their *name* appears
+    # without a suffix in pages; the override pins type=company.
+    override_rows = []
+    attempts = 0
+    while len(override_rows) < 6 and attempts < 200:
+        attempts += 1
+        name = f"{rng.choice(CO_STEM)} {rng.choice(CO_NAME)}"
+        e = uni.add(name, "company")
+        if e:
+            orgs.append(e)
+            override_rows.append({"name": name, "type": "company"})
+
+    base_ts = datetime(2025, 1, 1, tzinfo=timezone.utc)
+    pages = []
+    seen_surfaces: dict[int, set[str]] = {}       # id(entity) -> surfaces used
+    page_mentions: list[tuple[str, Entity]] = []  # (url, entity)
+    member_facts: list[tuple[Entity, str, Entity]] = []
+
+    def use(e: Entity, surf: str) -> str:
+        seen_surfaces.setdefault(id(e), set()).add(surf)
+        return surf
+
+    for pid in range(n_pages):
+        domain = HOT_DOMAIN if rng.random() < 0.25 else rng.choice(DOMAINS[1:])
+        url = f"https://{domain}/articulo/{pid:07d}"
+        ts = base_ts + timedelta(seconds=pid * 17 % 2_600_000)
+        lang = rng.choice(LANGS)
+
+        picks: list[tuple[Entity, str]] = []      # (entity, surface used)
+        k = rng.randint(1, 4)
+        pool = rng.sample(ents, k)
+        if rng.random() < 0.15:
+            pool.append(hot_entity)
+        for e in pool:
+            surf = e.name if not e.variants or rng.random() < 0.6 else rng.choice(e.variants)
+            picks.append((e, use(e, surf)))
+
+        paras = []
+        for e, surf in picks:
+            verb = rng.choice(["anunció la firma del convenio",
+                               "presentó resultados del ejercicio",
+                               "participó en la licitación pública",
+                               "firmó el contrato marco"])
+            paras.append(f"<p>hoy {surf} {verb} según fuentes oficiales.</p>")
+            page_mentions.append((url, e))
+
+        if rng.random() < 0.35:                   # membership sentence
+            p = rng.choice(persons)
+            o = rng.choice(orgs)
+            role = rng.choice(ROLES)
+            psurf = p.name if not p.variants or rng.random() < 0.7 else rng.choice(p.variants)
+            paras.append(
+                f"<p>en rueda de prensa, {use(p, psurf)}, {role} de {use(o, o.name)}, "
+                f"destacó los avances del programa.</p>")
+            page_mentions.append((url, p))
+            page_mentions.append((url, o))
+            member_facts.append((p, role, o))
+
+        html = _HTML_TMPL.format(title=f"nota {pid}", pid=pid,
+                                 paras="\n".join(paras)).encode("utf-8")
+        pages.append({"url": url, "warc_ts": ts, "html": html,
+                      "text": None, "lang": lang})
+
+    # ---- golden derivation from SEEN surfaces only ----------------------
+    # The pipeline can only canonicalize aliases it has observed; golden
+    # canonical = min slug among the surfaces that actually occur in pages.
+    canon: dict[int, str] = {}
+    golden: set[tuple[str, str, str]] = set()
+    for e in ents:
+        seen = seen_surfaces.get(id(e))
+        if not seen:
+            continue
+        slugs = {simple_name_py(s) for s in seen}
+        canon[id(e)] = min(slugs)
+        golden.add((canon[id(e)], "type", e.etype))
+        for s in slugs:
+            if s != canon[id(e)]:
+                golden.add((s, "sameAs", canon[id(e)]))
+    for url, e in page_mentions:
+        golden.add((url, "mentions", canon[id(e)]))
+    membership_facts = []
+    for p, role, o in member_facts:
+        golden.add((canon[id(p)], "memberOf", canon[id(o)]))
+        membership_facts.append((canon[id(p)], role, canon[id(o)]))
+
+    aux = {"entities": ents, "classifier_override": override_rows,
+           "memberships": membership_facts, "canonical": canon}
+    return pages, golden, aux
+
+
+def write_corpus_parquet(out_dir: str, n_pages: int, seed: int = 42, **kw):
+    """Materialize pages + classifier_override + golden_triples as parquet
+    (pyarrow writer — generation itself is not a Spark job)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    pages, golden, aux = generate_corpus(n_pages, seed=seed, **kw)
+
+    pq.write_table(pa.Table.from_pylist(pages, schema=pa.schema([
+        ("url", pa.string()), ("warc_ts", pa.timestamp("us", tz="UTC")),
+        ("html", pa.binary()), ("text", pa.string()), ("lang", pa.string()),
+    ])), f"{out_dir}/pages.parquet")
+    pq.write_table(pa.Table.from_pylist(
+        [{"subj": s, "pred": p, "obj": o} for s, p, o in sorted(golden)],
+        schema=pa.schema([("subj", pa.string()), ("pred", pa.string()),
+                          ("obj", pa.string())])), f"{out_dir}/golden_triples.parquet")
+    ov = aux["classifier_override"] or [{"name": "__none__", "type": "company"}]
+    pq.write_table(pa.Table.from_pylist(ov, schema=pa.schema(
+        [("name", pa.string()), ("type", pa.string())])),
+        f"{out_dir}/classifier_override.parquet")
+    return out_dir

@@ -1,0 +1,120 @@
+"""Mention detection: extracted text -> candidate entity-name spans.
+
+Generalizes the reference's `parties.map(...)` iteration (reference
+extract.js:8-10): where OCDS hands the reference a parties array per record,
+a web page hands us raw text, so mentions are detected as capitalized name
+spans (persons, companies with legal suffixes, keyword-led institutions).
+
+Two implementations with identical output (parity-tested):
+- `detect_mentions`       — JVM fast path: `regexp_extract_all` inside
+  WholeStageCodegen; zero Python in the hot loop. DEFAULT.
+- `detect_mentions_pandas`— Arrow-batched pandas UDF (`input_hint` surface:
+  batched mention detection as pandas UDFs over Arrow record batches).
+
+The regex is a single pattern valid under BOTH Java and Python `re`
+semantics (only char classes / non-capturing groups / \\s), so the two paths
+and the datagen golden derivation can never drift.
+
+Membership detection (analogue of the six membership constructors,
+reference extract.js:1102-1218): sentences "X, <role> de Y" -> memberOf
+edges, extracted with the same shared token grammar.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+from ocds_entity_extract_spark.functions.text import collapse_ws, simple_name, url_domain
+
+# --- shared grammar (Java- and Python-compatible) ------------------------
+
+_UPPER = "A-ZÁÉÍÓÚÑÜ"      # A-Z ÁÉÍÓÚÑÜ
+_LOWER = "a-záéíóúñü"      # a-z áéíóúñü
+# capitalized token: allows lowercase tails (Grupo), all-caps acronyms
+# (UNAM, SA, CV) and dotted acronyms (S.A., C.V.)
+_TOK = f"[{_UPPER}](?:[{_UPPER}{_LOWER}0-9]|\\.[{_UPPER}])*\\.?"
+_CONN = "(?:de|del|la|las|los|y|e)"
+# >= 2 capitalized tokens, optionally separated by a single connector
+MENTION_RE = f"{_TOK}(?:\\s+(?:{_CONN}\\s+)?{_TOK})+"
+
+ROLE_RE = "(?:director general|directora general|titular|presidente|presidenta|gerente)"
+# groups: 1 = person span, 2 = role, 3 = org span (inner groups non-capturing)
+MEMBERSHIP_RE = f"({MENTION_RE}),\\s+({ROLE_RE})\\s+de\\s+({MENTION_RE})"
+
+
+def detect_mentions(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """JVM path: pages(url, warc_ts, text, ...) -> one row per mention.
+
+    Plan shape: project(url, warc_ts, text) -> regexp_extract_all ->
+    explode -> normalize. Narrow (no shuffle); Catalyst prunes every other
+    page column at the scan.
+    """
+    spans = pages.select(
+        "url",
+        "warc_ts",
+        url_domain("url").alias("domain"),
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(MENTION_RE), 0)).alias(
+            "surface"
+        ),
+    )
+    return _finish(spans)
+
+
+def detect_mentions_pandas(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """Arrow pandas-UDF path; identical output to `detect_mentions`."""
+    import re
+
+    pat = re.compile(MENTION_RE)
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def find_spans(text: pd.Series) -> pd.Series:
+        return text.map(lambda t: [] if t is None else pat.findall(t))
+
+    spans = pages.select(
+        "url",
+        "warc_ts",
+        url_domain("url").alias("domain"),
+        F.explode(find_spans(F.col(text_col))).alias("surface"),
+    )
+    return _finish(spans)
+
+
+def _finish(spans: DataFrame) -> DataFrame:
+    return spans.select(
+        "url",
+        "warc_ts",
+        "domain",
+        "surface",
+        collapse_ws("surface").alias("name_norm"),
+        simple_name("surface").alias("entity_id"),
+    ).filter(F.col("entity_id") != "")
+
+
+def detect_memberships(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """pages -> (url, person span, role, org span) membership candidates.
+
+    regexp_extract_all(group 0) then per-group re-extract on the (short)
+    matched span — keeps the heavy scan single-pass over `text`.
+    """
+    m = pages.select(
+        "url",
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(MEMBERSHIP_RE), 0)
+        ).alias("m"),
+    )
+    return m.select(
+        "url",
+        simple_name(F.regexp_extract("m", MEMBERSHIP_RE, 1)).alias("person_id"),
+        F.regexp_extract("m", MEMBERSHIP_RE, 2).alias("role"),
+        simple_name(F.regexp_extract("m", MEMBERSHIP_RE, 3)).alias("org_id"),
+    ).filter((F.col("person_id") != "") & (F.col("org_id") != ""))
+
+
+def detect_mentions_stream(pages: DataFrame, text_col: str = "text") -> Iterator:
+    """Reserved for Structured Streaming reuse: the same narrow projection
+    works unchanged on a streaming DataFrame (no agg here)."""
+    raise NotImplementedError("batch pipeline uses detect_mentions")

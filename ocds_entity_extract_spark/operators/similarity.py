@@ -1,0 +1,85 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: native Column math (zip_with/aggregate), the
+  exact baseline (queries_ml.q_ann_topk_bruteforce).
+- LSH-bucketed ANN: random-hyperplane signatures -> search only matching
+  buckets. The hyperplanes are seeded-deterministic literals broadcast in
+  the plan (no UDF); at 100 TB the bucket join replaces the full scan.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, functions as F
+
+from ocds_entity_extract_spark.queries_ml import cosine
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Add `bucket`: sign-pattern of dot products with n_planes seeded
+    hyperplanes, packed into one long."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane_lit = F.array(*[F.lit(float(x)) for x in p])
+        d = F.aggregate(
+            F.zip_with(F.col(vec_col), plane_lit, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return df.withColumn("bucket", bucket)
+
+
+def ann_topk_lsh(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+) -> DataFrame:
+    """Top-k by cosine among vectors sharing the query's LSH bucket."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    bucketed = with_lsh_bucket(embeddings, vec_col, dim, n_planes)
+    qrow = bucketed.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    return (
+        bucketed.filter(F.col(id_col) != query_vec_id)
+        .join(F.broadcast(qrow), F.col("bucket") == F.col("qbucket"))
+        .select(id_col, F.round(cosine(F.col(vec_col), F.col("qv")), 3).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ann_topk_bruteforce(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    qv = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("qv")
+    )
+    return (
+        embeddings.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(qv))
+        .select(id_col, F.round(cosine(F.col(vec_col), F.col("qv")), 3).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

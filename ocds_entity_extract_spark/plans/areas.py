@@ -1,0 +1,123 @@
+"""Area hierarchy + area membership edges.
+
+≙ reference geographic machinery: country/state/municipality upserts
+(extract.js:785-829), the govLevel switch-FALLTHROUGH area array build
+(extract.js:897-982 — city ⊃ region ⊃ country), and the area membership
+edge kinds (extract.js:1102-1218).
+
+Input: rows with (entity_id, country_name, region, locality, gov_level)
+— nullable columns replace the reference's hasOwnProperty guards (P1).
+
+Outputs:
+- `area_nodes(area_id, name, classification, parent_id)` — one row per
+  country/state/city referenced (deduped).
+- `area_edges(subj, pred, obj)` — entity -> area + area -> parent edges,
+  the (page-entity, inArea/partOf, area) triples.
+
+The fallthrough semantics are expressed as a *filtered array build* (X4):
+levels = [city?, state?, country?] with nulls dropped — gov_level 'city'
+keeps all three, 'region' two, 'country' one; no gov_level falls back to
+whichever address fields exist (the else-branch, extract.js:941-982).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ocds_entity_extract_spark.functions.geo import with_country_code, with_state_code
+from ocds_entity_extract_spark.functions.text import launder, membership_id, simple_name
+
+
+def _level_rank(col):
+    return (
+        F.when(col == "city", 3).when(col == "region", 2).when(col == "country", 1)
+    )
+
+
+def with_area_ancestors(
+    addrs: DataFrame, spark: SparkSession
+) -> DataFrame:
+    """Add `areas`: array<struct(area_id, name, classification, parent_id)>
+    of the entity's geographic ancestors (innermost first)."""
+    df = with_state_code(with_country_code(addrs, spark), spark)
+
+    country_id = simple_name(F.coalesce("country_code", F.lit("xx")))
+    state_id = F.col("state_code")
+    city_id = F.concat(
+        state_id, F.lit("-"), simple_name(launder(F.col("locality")))
+    )
+
+    rank = F.coalesce(
+        _level_rank(F.col("gov_level")),
+        # no gov_level: infer from the most specific address field present
+        F.when(F.col("locality").isNotNull(), 3)
+        .when(F.col("region").isNotNull(), 2)
+        .when(F.col("country_name").isNotNull(), 1),
+    )
+
+    city = F.when(
+        (rank >= 3) & F.col("locality").isNotNull(),
+        F.struct(
+            city_id.alias("area_id"),
+            F.col("locality").alias("name"),
+            F.lit("city").alias("classification"),
+            state_id.alias("parent_id"),
+        ),
+    )
+    state = F.when(
+        (rank >= 2) & F.col("region").isNotNull(),
+        F.struct(
+            state_id.alias("area_id"),
+            F.col("region").alias("name"),
+            F.lit("region").alias("classification"),
+            country_id.alias("parent_id"),
+        ),
+    )
+    country = F.when(
+        (rank >= 1) & F.col("country_name").isNotNull(),
+        F.struct(
+            country_id.alias("area_id"),
+            F.coalesce("country_name_es", F.col("country_name")).alias("name"),
+            F.lit("country").alias("classification"),
+            F.lit(None).cast("string").alias("parent_id"),
+        ),
+    )
+    areas = F.filter(F.array(city, state, country), lambda x: x.isNotNull())
+    return df.withColumn("areas", areas)
+
+
+def area_nodes(addrs: DataFrame, spark: SparkSession) -> DataFrame:
+    """Deduped area node table (first-wins name per area_id via min)."""
+    exploded = (
+        with_area_ancestors(addrs, spark)
+        .select(F.explode("areas").alias("a"))
+        .select("a.area_id", "a.name", "a.classification", "a.parent_id")
+    )
+    return exploded.groupBy("area_id").agg(
+        F.min("name").alias("name"),
+        F.min("classification").alias("classification"),
+        F.min("parent_id").alias("parent_id"),
+    )
+
+
+def area_edges(addrs: DataFrame, spark: SparkSession) -> DataFrame:
+    """Triples: (entity, inArea, innermost area) + (area, partOf, parent).
+    Edge ids follow the child_parent concat contract (F4)."""
+    w = with_area_ancestors(addrs, spark).filter(F.size("areas") > 0)
+    entity_edges = w.select(
+        F.col("entity_id").alias("subj"),
+        F.lit("inArea").alias("pred"),
+        F.element_at("areas", 1)["area_id"].alias("obj"),
+    )
+    parent_edges = (
+        w.select(F.explode("areas").alias("a"))
+        .filter(F.col("a.parent_id").isNotNull())
+        .select(
+            F.col("a.area_id").alias("subj"),
+            F.lit("partOf").alias("pred"),
+            F.col("a.parent_id").alias("obj"),
+        )
+    )
+    return entity_edges.unionByName(parent_edges).distinct().withColumn(
+        "edge_id", membership_id("subj", "obj")
+    )

@@ -1,0 +1,144 @@
+"""End-to-end KG-construction plan: pages -> triples.
+
+Stage graph (≙ reference lifecycle, SURVEY.md §3.4/§3.5):
+
+  pages(url, warc_ts, html, text, lang)
+    └─ extract_text (Arrow pandas UDF; narrow)            [stage 1]
+    └─ detect_mentions / detect_memberships (regexp, narrow) [stage 2]
+    └─ classify (broadcast override join + codegen rules)  [stage 3]
+    └─ merge_entities (shuffle on entity_id)               [stage 4]
+    └─ linking: MinHash-LSH + verify (self-join on bands)  [stage 5]
+    └─ connected components (iterative joins)              [stage 6]
+    └─ triple assembly (unions, distinct)                  [stage 7]
+
+Only stages 4-6 shuffle. The mentions DataFrame is cached across stages
+4/5/7 because three consumers branch from it (cache() — at cluster scale,
+persist(DISK_ONLY) or a materialized intermediate table).
+
+Emitted predicates (≙ the reference's six entity kinds + membership edges,
+reference extract.js:1102-1218 / SURVEY.md §1.3):
+  (url,       'mentions', canonical_entity)
+  (canonical, 'type',     person|company|institution)
+  (alias,     'sameAs',   canonical)                — linking output
+  (person,    'memberOf', org)                      — membership sentences
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ocds_entity_extract_spark.functions.classify import with_entity_type
+from ocds_entity_extract_spark.functions.html import with_extracted_text
+from ocds_entity_extract_spark.operators.cc import canonical_mapping
+from ocds_entity_extract_spark.operators.linking import verified_edges
+from ocds_entity_extract_spark.operators.mentions import (
+    detect_memberships,
+    detect_mentions,
+)
+from ocds_entity_extract_spark.operators.merge import (
+    merge_entities,
+    rank_type,
+    type_rank,
+)
+
+
+@dataclass
+class PipelineResult:
+    triples: DataFrame
+    entities: DataFrame
+    mentions: DataFrame
+    mapping: DataFrame          # entity_id -> canonical_id
+    sameas_edges: DataFrame
+
+
+def build_triples(
+    spark: SparkSession,
+    pages: DataFrame,
+    classifier_override: DataFrame | None = None,
+    salted_merge: bool = False,
+    cache_intermediates: bool = True,
+) -> PipelineResult:
+    """Run the full plan; all returned DataFrames are lazy except cached
+    intermediates."""
+    pages_t = with_extracted_text(pages)
+
+    mentions = with_entity_type(detect_mentions(pages_t), classifier_override)
+    if cache_intermediates:
+        mentions = mentions.cache()
+
+    if salted_merge:
+        from ocds_entity_extract_spark.operators.merge import merge_entities_salted
+
+        entities = merge_entities_salted(mentions)
+    else:
+        entities = merge_entities(mentions)
+
+    edges = verified_edges(mentions.select("entity_id"))
+    mapping = canonical_mapping(mentions.select("entity_id"), edges)
+    if cache_intermediates:
+        mapping = mapping.cache()
+
+    # --- triple assembly (canonical ids everywhere) ---
+    canon_mentions = (
+        mentions.join(mapping, "entity_id")
+        .select(
+            F.col("url").alias("subj"),
+            F.lit("mentions").alias("pred"),
+            F.col("canonical_id").alias("obj"),
+        )
+        .distinct()
+    )
+
+    # component-level type: max precedence across ALL mentions of the
+    # component (order-independent A16 fixpoint, reference extract.js:310-318)
+    canon_types = (
+        mentions.join(mapping, "entity_id")
+        .select("canonical_id", type_rank("entity_type").alias("_rank"))
+        .groupBy("canonical_id")
+        .agg(F.max("_rank").alias("_rank"))
+        .select(
+            F.col("canonical_id").alias("subj"),
+            F.lit("type").alias("pred"),
+            rank_type(F.col("_rank")).alias("obj"),
+        )
+    )
+
+    sameas = (
+        mapping.filter(F.col("entity_id") != F.col("canonical_id"))
+        .select(
+            F.col("entity_id").alias("subj"),
+            F.lit("sameAs").alias("pred"),
+            F.col("canonical_id").alias("obj"),
+        )
+        .distinct()
+    )
+
+    memberships = detect_memberships(pages_t)
+    member_triples = (
+        memberships
+        .join(mapping.withColumnRenamed("entity_id", "person_id"), "person_id")
+        .withColumnRenamed("canonical_id", "person_canon")
+        .join(mapping.withColumnRenamed("entity_id", "org_id"), "org_id")
+        .withColumnRenamed("canonical_id", "org_canon")
+        .select(
+            F.col("person_canon").alias("subj"),
+            F.lit("memberOf").alias("pred"),
+            F.col("org_canon").alias("obj"),
+        )
+        .distinct()
+    )
+
+    triples = (
+        canon_mentions.unionByName(canon_types)
+        .unionByName(sameas)
+        .unionByName(member_triples)
+    )
+    return PipelineResult(
+        triples=triples,
+        entities=entities,
+        mentions=mentions,
+        mapping=mapping,
+        sameas_edges=sameas,
+    )

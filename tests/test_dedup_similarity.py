@@ -1,0 +1,110 @@
+"""Dedup family (exact / MinHash / SimHash / n-gram Jaccard / embedding)
+and similarity search operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocds_entity_extract_spark.operators.dedup import (
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    with_simhash,
+    with_word_shingles,
+)
+from ocds_entity_extract_spark.operators.similarity import (
+    ann_topk_bruteforce,
+    ann_topk_lsh,
+    with_lsh_bucket,
+)
+
+DOCS = [
+    (1, "a", "the quick brown fox jumps over the lazy dog in the park"),
+    (2, "a", "the quick brown fox jumps over the lazy dog in a park"),   # near-dup of 1
+    (3, "a", "completely different text about spark shuffles and joins here"),
+    (4, "b", "the quick brown fox jumps over the lazy dog in the park"), # exact dup of 1
+    (5, "b", "unrelated words entirely distinct vocabulary nothing shared at all"),
+]
+DOCS_SCHEMA = "doc_id long, source string, text string"
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, DOCS_SCHEMA)
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    out = with_word_shingles(df).collect()[0]["shingles"]
+    assert out == ["a b c", "b c d"]
+
+
+def test_minhash_finds_near_dups(spark):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidate_pairs(_docs(spark), jaccard_threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 4) in pairs       # exact dup has jaccard 1.0
+    assert all({a, b} != {3, 5} for a, b in pairs)
+
+
+def test_simhash_properties(spark):
+    rows = {r["doc_id"]: r["simhash"] for r in with_simhash(_docs(spark)).collect()}
+    assert rows[1] == rows[4]            # identical text -> identical signature
+    assert rows[1] != rows[5]
+    # near-dup: small hamming distance
+    h = bin((rows[1] ^ rows[2]) & ((1 << 64) - 1)).count("1")
+    assert h <= 12, h
+
+
+def test_simhash_near_pairs(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in simhash_near_pairs(_docs(spark), max_hamming=12).collect()
+    }
+    assert (1, 4) in pairs
+    assert (1, 2) in pairs
+
+
+def test_ngram_jaccard_blocked(spark):
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(_docs(spark), threshold=0.2).collect()
+    }
+    assert (1, 2) in out
+    assert (1, 4) not in out             # different block ('a' vs 'b')
+    assert all(v >= 0.2 for v in out.values())
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0], 0),
+    (1, [0.9, 0.1, 0.0, 0.0], 0),
+    (2, [0.0, 1.0, 0.0, 0.0], 1),
+    (3, [1.0, 0.05, 0.0, 0.0], 0),
+    (4, [-1.0, 0.0, 0.0, 0.0], 1),
+]
+
+
+def _vecs(spark):
+    return spark.createDataFrame(
+        VECS, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_bruteforce_topk_order(spark):
+    rows = ann_topk_bruteforce(_vecs(spark), query_vec_id=0, k=3).collect()
+    assert [r["vec_id"] for r in rows] == [3, 1, 2]
+    assert rows[0]["score"] >= rows[1]["score"] >= rows[2]["score"]
+
+
+def test_lsh_bucket_deterministic(spark):
+    a = {r["vec_id"]: r["bucket"] for r in with_lsh_bucket(_vecs(spark), dim=4).collect()}
+    b = {r["vec_id"]: r["bucket"] for r in with_lsh_bucket(_vecs(spark), dim=4).collect()}
+    assert a == b
+
+
+def test_lsh_topk_subset_of_bucket(spark):
+    rows = ann_topk_lsh(_vecs(spark), query_vec_id=0, k=3, n_planes=2).collect()
+    got = [r["vec_id"] for r in rows]
+    # close vectors share the query's hyperplane signs; opposite vector must not
+    assert 4 not in got
+    assert len(got) >= 1

@@ -1,0 +1,49 @@
+"""Mention detection: JVM regexp path == pandas-UDF path (parity), and
+detection hits the embedded entity surfaces."""
+
+from __future__ import annotations
+
+from ocds_entity_extract_spark.functions.html import with_extracted_text
+from ocds_entity_extract_spark.operators.mentions import (
+    detect_memberships,
+    detect_mentions,
+    detect_mentions_pandas,
+)
+
+
+def _collect_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_jvm_vs_pandas_parity(spark, pages_df):
+    pages_t = with_extracted_text(pages_df).cache()
+    jvm = _collect_set(detect_mentions(pages_t).select("url", "surface"))
+    pdu = _collect_set(detect_mentions_pandas(pages_t).select("url", "surface"))
+    assert jvm == pdu
+    assert len(jvm) > 100
+
+
+def test_detects_embedded_entities(spark, pages_df, small_corpus):
+    _, _, aux = small_corpus
+    pages_t = with_extracted_text(pages_df)
+    found_ids = {
+        r["entity_id"] for r in detect_mentions(pages_t).select("entity_id").distinct().collect()
+    }
+    from ocds_entity_extract_spark.datagen import simple_name_py
+
+    # every entity surface that datagen embedded must be detectable
+    embedded = set()
+    for e in aux["entities"]:
+        embedded.add(simple_name_py(e.name))
+    missing = embedded - found_ids
+    # allow a small tail (entities may never have been picked for a page)
+    assert len(missing) / len(embedded) < 0.25, sorted(missing)[:10]
+
+
+def test_memberships_detected(spark, pages_df, small_corpus):
+    _, golden, _ = small_corpus
+    pages_t = with_extracted_text(pages_df)
+    got = _collect_set(
+        detect_memberships(pages_t).select("person_id", "org_id")
+    )
+    assert len(got) > 10
