@@ -66,18 +66,64 @@ def _signature(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _cc_driver_side(edges: DataFrame) -> DataFrame:
+    """Small-graph fast path: union-find on the collected edge list.
+
+    The size-adaptive analogue of a broadcast join: below the threshold the
+    distributed star loop is pure scheduling overhead (dozens of tiny jobs),
+    while the edge list fits trivially in driver memory. Same output
+    contract as the distributed path (canonical = component min id).
+    """
+    spark = edges.sparkSession
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:          # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edges.collect():
+        a, b = row["src"], row["dst"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    mapping = [(n, find(n)) for n in parent]
+    schema = edges.select(
+        F.col("src").alias("entity_id"), F.col("src").alias("canonical_id")
+    ).schema
+    return spark.createDataFrame(mapping, schema=schema)
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int = 20, checkpoint: bool = True
+    edges: DataFrame,
+    max_iter: int = 20,
+    checkpoint: bool = True,
+    small_graph_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(src, dst) undirected edges -> (entity_id, canonical_id) mapping.
 
     Every node in the input graph appears exactly once; canonical_id is the
     component's minimum id. Nodes not present in `edges` are their own
     canonical id (callers coalesce on join).
+
+    Size-adaptive strategy: the deduped edge set is counted once (an action
+    we need anyway to seed convergence detection); at or below
+    `small_graph_threshold` edges the component structure is solved
+    driver-side (union-find — O(E α(E)), one collect), above it the
+    alternating-star distributed loop runs. Pass ``small_graph_threshold=0``
+    to force the distributed path.
     """
     cur = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
     if checkpoint:
         cur = cur.localCheckpoint(eager=True)
+    if small_graph_threshold and cur.count() <= small_graph_threshold:
+        return _cc_driver_side(cur)
     prev_sig = None
     for _ in range(max_iter):
         cur = _small_star(_large_star(cur))

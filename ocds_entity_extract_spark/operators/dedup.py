@@ -42,31 +42,29 @@ def minhash_candidate_pairs(
     max_bucket: int = 64,
     jaccard_threshold: float = 0.5,
 ) -> DataFrame:
-    """documents -> verified near-dup pairs (id_a, id_b, jaccard)."""
+    """documents -> verified near-dup pairs (id_a, id_b, jaccard).
+
+    Signature build is the codegen path (explode -> hash once -> grouped
+    mins, see linking.minhash_signature_table); verification Jaccard runs
+    on the HASHED shingle sets (exact up to negligible 64-bit collisions).
+    """
     from ocds_entity_extract_spark.operators.linking import (
-        _cap_buckets,
-        with_minhash_bands,
+        _lsh_pairs,
+        minhash_signature_table,
     )
 
     sh = with_word_shingles(docs.select(id_col, text_col), text_col)
-    banded = with_minhash_bands(sh, num_hashes, band_size)
-    buckets = banded.select(
-        F.col(id_col), F.explode("bands").alias("b")
-    ).select(id_col, F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash"))
-    buckets = _cap_buckets(buckets, ["band_id", "band_hash"], max_bucket)
-
-    left = buckets.select("band_id", "band_hash", F.col(id_col).alias("id_a"))
-    right = buckets.select("band_id", "band_hash", F.col(id_col).alias("id_b"))
+    sig = minhash_signature_table(sh, id_col, num_hashes, band_size).cache()
     pairs = (
-        left.join(right, ["band_id", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        _lsh_pairs(sig, id_col, max_bucket)
+        .withColumnRenamed("src", "id_a")
+        .withColumnRenamed("dst", "id_b")
         .distinct()
     )
-    sh_sets = sh.select(F.col(id_col), F.col("shingles"))
+    sh_sets = sig.select(F.col(id_col), F.col("sh_hashed"))
     joined = (
-        pairs.join(sh_sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
-        .join(sh_sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        pairs.join(sh_sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh_hashed", "sh_a"), "id_a")
+        .join(sh_sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh_hashed", "sh_b"), "id_b")
     )
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     return (
@@ -156,13 +154,22 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
 ) -> DataFrame:
     """Exact word n-gram Jaccard >= threshold within blocks (block join
-    bounds the pair count; at scale the block is an LSH bucket)."""
-    sh = with_word_shingles(docs.select(id_col, block_col, text_col), text_col, n)
+    bounds the pair count; at scale the block is an LSH bucket).
+
+    Shingles are hashed to 64-bit longs BEFORE the self-join: the block
+    join is quadratic within each block, so the per-pair intersect work and
+    the shuffled array payload both shrink (~8 bytes vs full n-gram
+    strings); Jaccard over distinct 64-bit hashes equals Jaccard over the
+    strings up to negligible collision probability.
+    """
+    sh = with_word_shingles(
+        docs.select(id_col, block_col, text_col), text_col, n
+    ).withColumn("sh_h", F.expr("transform(shingles, s -> xxhash64(s))"))
     a = sh.select(
-        F.col(block_col).alias("blk"), F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
+        F.col(block_col).alias("blk"), F.col(id_col).alias("id_a"), F.col("sh_h").alias("sh_a")
     )
     b = sh.select(
-        F.col(block_col).alias("blk"), F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
+        F.col(block_col).alias("blk"), F.col(id_col).alias("id_b"), F.col("sh_h").alias("sh_b")
     )
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     return (

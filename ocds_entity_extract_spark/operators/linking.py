@@ -2,28 +2,32 @@
 
 The reference resolves aliases only by exact id equality (dict key probe,
 reference extract.js:1380-1382); the web-scale north rule requires fuzzy
-alias resolution. Design (all JVM-side Column expressions — no UDF, no
-per-shingle explode shuffle):
+alias resolution. Design:
 
-1. slug -> character 3-gram shingle array (higher-order `transform` over
-   `sequence`, computed once per DISTINCT entity id — dedup first, so the
-   cost is O(|entities|), not O(|mentions|)).
-2. K minhashes: `array_min(transform(shingles, s -> xxhash64(s, i)))` —
-   K columns, zero shuffles.
+1. slug -> character 3-gram shingle array (computed once per DISTINCT
+   entity id — dedup first, so the cost is O(|entities|), not O(|mentions|)).
+2. Shingles are EXPLODED to rows and hashed once (`xxhash64`), then the K
+   minhashes are `groupBy(id).agg(min(xxhash64(h, i)) ... )` — the classic
+   MapReduce minhash. This keeps every expression inside WholeStageCodegen
+   with map-side partial aggregation; the alternative (K higher-order
+   `transform` columns) is interpreted, and Catalyst's CollapseProject
+   inlines the shingle construction into every one of the K expressions —
+   measured ~50x slower at sf0.1.
 3. LSH bands: r minhashes hashed per band; explode only the B band keys
    (B ~ 8 rows per entity) -> self-join on (band_id, band_hash).
    Hot buckets (degenerate shingle patterns) are CAPPED at
    `max_bucket_size` before the self-join — the standard LSH skew guard:
    a bucket of size m yields m^2/2 pairs, so one hot bucket can dominate
    the whole job at 100 TB scale.
-4. Exact-Jaccard verification on the candidate pairs
-   (array_intersect/size — pair count is LSH-bounded, cheap).
+4. Exact-similarity verification on the candidate pairs over the HASHED
+   shingle sets (array_intersect on longs — pair count is LSH-bounded,
+   and 64-bit hashes make set equality exact up to negligible collisions).
 5. A cheap prefix block (first `prefix_len` slug chars) unioned in as a
    secondary blocker — catches prefix-preserving aliases LSH may drop at
    the band boundary; same cap + verification applies.
 
-Output: undirected verified edges (src, dst, jaccard) with src < dst,
-feeding connected components (operators/cc.py).
+Output: undirected verified edges (src, dst, containment, jaccard) with
+src < dst, feeding connected components (operators/cc.py).
 """
 
 from __future__ import annotations
@@ -53,23 +57,28 @@ def with_shingles(df: DataFrame, col: str = "entity_id", n: int = 3) -> DataFram
     )
 
 
-def with_minhash_bands(
-    df: DataFrame,
+def minhash_signature_table(
+    df_with_shingles: DataFrame,
+    id_col: str,
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_size: int = DEFAULT_BAND_SIZE,
 ) -> DataFrame:
-    """Add `bands`: array of (band_id, band_hash) structs from K minhashes.
+    """(id, shingles) -> (id, n_shingles, sh_hashed, bands) in ONE shuffle.
 
-    xxhash64(shingle, seed_i) gives K independent hash families; band hash
-    combines r consecutive minhashes. Everything stays inside codegen.
+    explode -> xxhash64 once per shingle -> grouped min per hash family
+    (codegen + map-side combine). `sh_hashed` (the distinct hashed shingle
+    set) rides along in the same aggregation for later exact verification,
+    so no second shuffle is needed.
     """
-    mh = [
-        F.array_min(
-            F.expr(f"transform(shingles, s -> xxhash64(s, {i}))")
-        ).alias(f"mh{i}")
-        for i in range(num_hashes)
+    hashed = df_with_shingles.select(
+        id_col, F.explode("shingles").alias("_s")
+    ).select(id_col, F.xxhash64("_s").alias("_h"))
+    aggs = [
+        F.min(F.xxhash64("_h", F.lit(i))).alias(f"mh{i}") for i in range(num_hashes)
     ]
-    df = df.select("*", *mh)
+    sig = hashed.groupBy(id_col).agg(
+        *aggs, F.collect_set("_h").alias("sh_hashed")
+    )
     n_bands = num_hashes // band_size
     bands = F.array(
         *[
@@ -82,7 +91,26 @@ def with_minhash_bands(
             for b in range(n_bands)
         ]
     )
-    return df.withColumn("bands", bands).drop(*[f"mh{i}" for i in range(num_hashes)])
+    return (
+        sig.withColumn("bands", bands)
+        .withColumn("n_shingles", F.size("sh_hashed"))
+        .drop(*[f"mh{i}" for i in range(num_hashes)])
+    )
+
+
+def with_minhash_bands(
+    df: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+) -> DataFrame:
+    """Per-row `bands` column via the signature table (join back on id).
+
+    Kept for API/testing symmetry; `candidate_pairs` uses
+    `minhash_signature_table` directly (one shuffle, no join-back).
+    """
+    id_col = df.columns[0]
+    sig = minhash_signature_table(df, id_col, num_hashes, band_size)
+    return df.join(sig.select(id_col, "bands"), id_col, "left")
 
 
 def _cap_buckets(buckets: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
@@ -91,6 +119,39 @@ def _cap_buckets(buckets: DataFrame, keys: list[str], max_bucket: int) -> DataFr
     return (
         buckets.join(sizes.filter(F.col("_bsz") <= max_bucket), keys, "inner")
         .drop("_bsz")
+    )
+
+
+def _lsh_pairs(sig: DataFrame, id_col: str, max_bucket: int) -> DataFrame:
+    """Signature table -> LSH candidate (src, dst) pairs, src < dst."""
+    buckets = sig.select(id_col, F.explode("bands").alias("b")).select(
+        id_col,
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.band_hash").alias("band_hash"),
+    )
+    buckets = _cap_buckets(buckets, ["band_id", "band_hash"], max_bucket)
+    left = buckets.select("band_id", "band_hash", F.col(id_col).alias("src"))
+    right = buckets.select("band_id", "band_hash", F.col(id_col).alias("dst"))
+    return (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+
+
+def _prefix_pairs(
+    base: DataFrame, id_col: str, max_bucket: int, prefix_len: int
+) -> DataFrame:
+    """Secondary blocker: exact slug-prefix buckets (capped) -> pairs."""
+    pref = base.select(
+        F.col(id_col), F.substring(id_col, 1, prefix_len).alias("pfx")
+    ).filter(F.length(id_col) >= prefix_len)
+    pref = _cap_buckets(pref, ["pfx"], max_bucket)
+    return (
+        pref.alias("a")
+        .join(pref.alias("b"), "pfx")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("src"), F.col(f"b.{id_col}").alias("dst"))
     )
 
 
@@ -104,35 +165,11 @@ def candidate_pairs(
 ) -> DataFrame:
     """DISTINCT ids -> candidate (src, dst) pairs, src < dst, deduped."""
     base = entities.select(id_col).distinct()
-    sh = with_shingles(base, id_col)
-    banded = with_minhash_bands(sh, num_hashes, band_size)
-
-    lsh_buckets = banded.select(
-        F.col(id_col), F.explode("bands").alias("b")
-    ).select(id_col, F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash"))
-    lsh_buckets = _cap_buckets(lsh_buckets, ["band_id", "band_hash"], max_bucket)
-
-    left = lsh_buckets.select(
-        F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("src")
-    )
-    right = lsh_buckets.select(
-        F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("dst")
-    )
-    lsh_pairs = left.join(right, ["band_id", "band_hash"]).filter(
-        F.col("src") < F.col("dst")
-    ).select("src", "dst")
-
-    pref = base.select(
-        F.col(id_col), F.substring(id_col, 1, prefix_len).alias("pfx")
-    ).filter(F.length(id_col) >= prefix_len)
-    pref = _cap_buckets(pref, ["pfx"], max_bucket)
-    pref_pairs = (
-        pref.alias("a")
-        .join(pref.alias("b"), "pfx")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("src"), F.col(f"b.{id_col}").alias("dst"))
-    )
-    return lsh_pairs.unionByName(pref_pairs).distinct()
+    sig = minhash_signature_table(with_shingles(base, id_col), id_col, num_hashes, band_size)
+    lsh_pairs = _lsh_pairs(sig, id_col, max_bucket)
+    return lsh_pairs.unionByName(
+        _prefix_pairs(base, id_col, max_bucket, prefix_len)
+    ).distinct()
 
 
 def verified_edges(
@@ -140,21 +177,39 @@ def verified_edges(
     id_col: str = "entity_id",
     threshold: float = DEFAULT_CONTAINMENT_THRESHOLD,
     min_intersect: int = DEFAULT_MIN_INTERSECT,
-    **kw,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+    prefix_len: int = DEFAULT_PREFIX_LEN,
+    cache_signatures: bool = True,
 ) -> DataFrame:
     """Candidate pairs -> exact-similarity-verified sameAs edges.
 
-    Score = overlap coefficient (containment) of the exact shingle sets; an
-    edge also needs `min_intersect` shared shingles so trivially short slugs
-    cannot reach the threshold by chance.
+    Score = overlap coefficient (containment) of the exact hashed-shingle
+    sets; an edge also needs `min_intersect` shared shingles so trivially
+    short slugs cannot reach the threshold by chance. The signature table
+    is built once and reused for blocking AND verification (three
+    consumers -> cached; it is O(|distinct entities|), far smaller than
+    the mention stream — at cluster scale persist to DISK_ONLY instead).
     """
-    pairs = candidate_pairs(entities, id_col, **kw)
-    sh = with_shingles(entities.select(id_col).distinct(), id_col).select(
-        F.col(id_col), F.col("shingles")
-    )
+    base = entities.select(id_col).distinct()
+    sig = minhash_signature_table(with_shingles(base, id_col), id_col, num_hashes, band_size)
+    if cache_signatures:
+        sig = sig.cache()
+
+    pairs = _lsh_pairs(sig, id_col, max_bucket).unionByName(
+        _prefix_pairs(base, id_col, max_bucket, prefix_len)
+    ).distinct()
+
+    sh = sig.select(F.col(id_col), F.col("sh_hashed"))
     joined = (
-        pairs.join(sh.withColumnRenamed(id_col, "src").withColumnRenamed("shingles", "sh_src"), "src")
-        .join(sh.withColumnRenamed(id_col, "dst").withColumnRenamed("shingles", "sh_dst"), "dst")
+        pairs.join(
+            sh.withColumnRenamed(id_col, "src").withColumnRenamed("sh_hashed", "sh_src"),
+            "src",
+        ).join(
+            sh.withColumnRenamed(id_col, "dst").withColumnRenamed("sh_hashed", "sh_dst"),
+            "dst",
+        )
     )
     inter = F.size(F.array_intersect("sh_src", "sh_dst"))
     containment = inter / F.least(F.size("sh_src"), F.size("sh_dst"))

@@ -46,6 +46,51 @@ ROLE_RE = "(?:director general|directora general|titular|presidente|presidenta|g
 MEMBERSHIP_RE = f"({MENTION_RE}),\\s+({ROLE_RE})\\s+de\\s+({MENTION_RE})"
 
 
+def detect_spans(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fused single-pass extraction: ONE scan of `text` computes BOTH the
+    mention-span array and the membership-span array.
+
+    The full pipeline consumes both; without fusion the two branches would
+    each re-scan pages and re-run the (expensive) upstream text-extraction
+    pandas UDF. The result is small (spans only, text dropped) — cacheable
+    by the caller.
+    """
+    return pages.select(
+        "url",
+        "warc_ts",
+        url_domain("url").alias("domain"),
+        F.regexp_extract_all(F.col(text_col), F.lit(MENTION_RE), 0).alias(
+            "mention_spans"
+        ),
+        F.regexp_extract_all(F.col(text_col), F.lit(MEMBERSHIP_RE), 0).alias(
+            "member_spans"
+        ),
+    )
+
+
+def mentions_from_spans(spans: DataFrame) -> DataFrame:
+    """detect_spans output -> one row per mention (explode + normalize)."""
+    return _finish(
+        spans.select(
+            "url",
+            "warc_ts",
+            "domain",
+            F.explode("mention_spans").alias("surface"),
+        )
+    )
+
+
+def memberships_from_spans(spans: DataFrame) -> DataFrame:
+    """detect_spans output -> (url, person_id, role, org_id) edges."""
+    m = spans.select("url", F.explode("member_spans").alias("m"))
+    return m.select(
+        "url",
+        simple_name(F.regexp_extract("m", MEMBERSHIP_RE, 1)).alias("person_id"),
+        F.regexp_extract("m", MEMBERSHIP_RE, 2).alias("role"),
+        simple_name(F.regexp_extract("m", MEMBERSHIP_RE, 3)).alias("org_id"),
+    ).filter((F.col("person_id") != "") & (F.col("org_id") != ""))
+
+
 def detect_mentions(pages: DataFrame, text_col: str = "text") -> DataFrame:
     """JVM path: pages(url, warc_ts, text, ...) -> one row per mention.
 

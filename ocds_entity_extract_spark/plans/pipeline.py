@@ -34,8 +34,9 @@ from ocds_entity_extract_spark.functions.html import with_extracted_text
 from ocds_entity_extract_spark.operators.cc import canonical_mapping
 from ocds_entity_extract_spark.operators.linking import verified_edges
 from ocds_entity_extract_spark.operators.mentions import (
-    detect_memberships,
-    detect_mentions,
+    detect_spans,
+    memberships_from_spans,
+    mentions_from_spans,
 )
 from ocds_entity_extract_spark.operators.merge import (
     merge_entities,
@@ -64,7 +65,14 @@ def build_triples(
     intermediates."""
     pages_t = with_extracted_text(pages)
 
-    mentions = with_entity_type(detect_mentions(pages_t), classifier_override)
+    # ONE pass over pages computes text (pandas UDF) + both span arrays;
+    # the small span table is cached so the mention and membership branches
+    # never re-run the expensive extraction.
+    spans = detect_spans(pages_t)
+    if cache_intermediates:
+        spans = spans.cache()
+
+    mentions = with_entity_type(mentions_from_spans(spans), classifier_override)
     if cache_intermediates:
         mentions = mentions.cache()
 
@@ -115,7 +123,7 @@ def build_triples(
         .distinct()
     )
 
-    memberships = detect_memberships(pages_t)
+    memberships = memberships_from_spans(spans)
     member_triples = (
         memberships
         .join(mapping.withColumnRenamed("entity_id", "person_id"), "person_id")

@@ -37,7 +37,17 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce small shuffles by SIZE, not up to defaultParallelism:
+        # the KG graph stages (linking/CC) move KBs — without this every
+        # tiny shuffle runs `cores` tasks and scheduling overhead dominates
+        # (inverted scaling local[8] -> local[32] measured before the fix).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE re-plan (incl. partition coalescing) under .cache() — off
+        # by default, which silently pins cached subtrees (mention/signature
+        # caches) to the raw shuffle-partition count.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.files.maxPartitionBytes", "134217728")

@@ -90,6 +90,26 @@ def test_connected_components_chain_and_star(spark):
     assert len(cc) == 16
 
 
+def test_cc_driver_vs_distributed_parity(spark):
+    """Size-adaptive fast path (union-find) must equal the distributed
+    star-loop on the same graph."""
+    import random
+
+    rng = random.Random(7)
+    edges_py = {(f"n{rng.randint(0, 60):02d}", f"n{rng.randint(0, 60):02d}") for _ in range(80)}
+    edges_py = [(a, b) for a, b in edges_py if a != b]
+    edges = spark.createDataFrame(edges_py, "src string, dst string")
+    fast = {
+        (r["entity_id"], r["canonical_id"])
+        for r in connected_components(edges).collect()
+    }
+    dist = {
+        (r["entity_id"], r["canonical_id"])
+        for r in connected_components(edges, small_graph_threshold=0).collect()
+    }
+    assert fast == dist
+
+
 def test_canonical_mapping_includes_singletons(spark):
     all_ids = _ids(spark, ["a", "b", "zz-singleton"])
     edges = spark.createDataFrame([("b", "a")], "src string, dst string")
