@@ -192,12 +192,24 @@ _HTML_TMPL = """<!DOCTYPE html>
 
 
 def generate_corpus(n_pages: int, seed: int = 42,
-                    n_person: int = 60, n_company: int = 80, n_inst: int = 60):
+                    n_person: int | None = None, n_company: int | None = None,
+                    n_inst: int | None = None):
     """Build the corpus. Returns (pages_rows, golden_triples, aux) where
     pages_rows is a list of dicts matching PAGES_SCHEMA, golden_triples a
     set of (subj, pred, obj), aux a dict with entities + classifier_override
     rows + membership facts.
+
+    The entity universe scales with the corpus (floor 60/80/60, ~1 entity
+    per ~350 pages, capped): a realistic web corpus grows its entity set
+    with its page count, so the linking/CC stages carry load proportional
+    to input instead of being a constant-size afterthought at large SF.
     """
+    if n_person is None:
+        n_person = max(60, min(1200, n_pages // 500))
+    if n_company is None:
+        n_company = max(80, min(1600, n_pages // 375))
+    if n_inst is None:
+        n_inst = max(60, min(1200, n_pages // 500))
     rng = random.Random(seed)
     uni = _mk_entities(rng, n_person, n_company, n_inst)
     ents = uni.ents
@@ -296,9 +308,14 @@ def generate_corpus(n_pages: int, seed: int = 42,
     return pages, golden, aux
 
 
-def write_corpus_parquet(out_dir: str, n_pages: int, seed: int = 42, **kw):
+def write_corpus_parquet(out_dir: str, n_pages: int, seed: int = 42,
+                         n_files: int = 64, **kw):
     """Materialize pages + classifier_override + golden_triples as parquet
-    (pyarrow writer — generation itself is not a Spark job)."""
+    (pyarrow writer — generation itself is not a Spark job).
+
+    `pages.parquet` is a DIRECTORY of `n_files` part files so a Spark scan
+    parallelizes like a real multi-file pages table (one ~100 MB file would
+    land in a single input partition under maxPartitionBytes)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     import os
@@ -306,10 +323,21 @@ def write_corpus_parquet(out_dir: str, n_pages: int, seed: int = 42, **kw):
     os.makedirs(out_dir, exist_ok=True)
     pages, golden, aux = generate_corpus(n_pages, seed=seed, **kw)
 
-    pq.write_table(pa.Table.from_pylist(pages, schema=pa.schema([
+    pages_schema = pa.schema([
         ("url", pa.string()), ("warc_ts", pa.timestamp("us", tz="UTC")),
         ("html", pa.binary()), ("text", pa.string()), ("lang", pa.string()),
-    ])), f"{out_dir}/pages.parquet")
+    ])
+    pages_dir = f"{out_dir}/pages.parquet"
+    os.makedirs(pages_dir, exist_ok=True)
+    n_files = max(1, min(n_files, len(pages) or 1))
+    chunk = -(-len(pages) // n_files)
+    for i in range(n_files):
+        part = pages[i * chunk:(i + 1) * chunk]
+        if part:
+            pq.write_table(
+                pa.Table.from_pylist(part, schema=pages_schema),
+                f"{pages_dir}/part-{i:05d}.parquet",
+            )
     pq.write_table(pa.Table.from_pylist(
         [{"subj": s, "pred": p, "obj": o} for s, p, o in sorted(golden)],
         schema=pa.schema([("subj", pa.string()), ("pred", pa.string()),

@@ -13,7 +13,7 @@ import random
 
 from pyspark.sql import DataFrame, functions as F
 
-from ocds_entity_extract_spark.queries_ml import cosine
+from ocds_entity_extract_spark.functions.vectors import cosine
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:

@@ -3,17 +3,20 @@
 Stage graph (≙ reference lifecycle, SURVEY.md §3.4/§3.5):
 
   pages(url, warc_ts, html, text, lang)
-    └─ extract_text (Arrow pandas UDF; narrow)            [stage 1]
-    └─ detect_mentions / detect_memberships (regexp, narrow) [stage 2]
+    └─ extract_text (Arrow pandas UDF) + mention/membership span
+       regexes — ONE fused scan; small span table cached    [stage 1+2]
     └─ classify (broadcast override join + codegen rules)  [stage 3]
     └─ merge_entities (shuffle on entity_id)               [stage 4]
     └─ linking: MinHash-LSH + verify (self-join on bands)  [stage 5]
-    └─ connected components (iterative joins)              [stage 6]
+    └─ connected components (size-adaptive: union-find     [stage 6]
+       under 1M edges, alternating-star joins above)
     └─ triple assembly (unions, distinct)                  [stage 7]
 
-Only stages 4-6 shuffle. The mentions DataFrame is cached across stages
-4/5/7 because three consumers branch from it (cache() — at cluster scale,
-persist(DISK_ONLY) or a materialized intermediate table).
+Only stages 4-6 shuffle. Two cached intermediates, both far smaller than
+pages: `spans` (feeds the mention and membership branches — without it the
+pandas-UDF extraction would run once per consumer) and `mentions` (three
+consumers: merge, linking, assembly). At cluster scale swap cache() for
+persist(DISK_ONLY) or a materialized intermediate table.
 
 Emitted predicates (≙ the reference's six entity kinds + membership edges,
 reference extract.js:1102-1218 / SURVEY.md §1.3):

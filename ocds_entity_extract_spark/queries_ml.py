@@ -19,26 +19,9 @@ from ocds_entity_extract_spark.functions.text import collapse_ws
 from ocds_entity_extract_spark.queries import ORACLE_SQL, SPARK_QUERIES, _t, query
 
 
-# ---------------------------------------------------------------------
-# vector helpers (native Column math — no UDF in the hot path)
-# ---------------------------------------------------------------------
-
-def dot(a, b) -> F.Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
-def norm(a) -> F.Column:
-    return F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v)
-    )
-
-
-def cosine(a, b) -> F.Column:
-    return dot(a, b) / (norm(a) * norm(b))
+# vector helpers live in functions/vectors.py (imported by similarity.py
+# too — keeping them there avoids a circular import with the LSH oracle)
+from ocds_entity_extract_spark.functions.vectors import cosine, dot, norm  # noqa: E402,F401
 
 
 # =====================================================================
@@ -116,9 +99,28 @@ def q_simhash_docs(spark, sf_dir):
     return with_simhash(d).select("doc_id", "simhash")
 
 
-@query("ngram_jaccard_pairs")  # rows-only (shingling not SQL-expressible)
+@query(
+    "ngram_jaccard_pairs",
+    r"""
+    WITH sh AS (
+      SELECT doc_id, source,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS s
+      FROM (SELECT doc_id, source, string_split_regex(text, '\s+') AS toks
+            FROM documents)
+    ), pairs AS (
+      SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
+             round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    )
+    SELECT source, id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.2
+    """,
+)
 def q_ngram_jaccard_pairs(spark, sf_dir):
-    """Exact word-3-gram Jaccard pairs within source blocks."""
+    """Exact word-3-gram Jaccard pairs within source blocks. The Spark side
+    intersects HASHED shingle sets (xxhash64) — equal to the oracle's
+    string-set Jaccard up to negligible 64-bit collisions."""
     from ocds_entity_extract_spark.operators.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
@@ -156,7 +158,32 @@ def q_ann_topk_bruteforce(spark, sf_dir):
     )
 
 
-@query("ann_topk_lsh")  # rows-only (hyperplane hash family)
+def _ann_lsh_oracle_sql(dim: int = 64, n_planes: int = 4, seed: int = 7) -> str:
+    """DuckDB twin of ann_topk_lsh: the SAME seeded hyperplanes (plain
+    literals in both plans) -> sign-pattern bucket -> bucket-local top-k."""
+    from ocds_entity_extract_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    cases = "\n           + ".join(
+        f"CASE WHEN list_dot_product(embedding, {[round(x, 17) for x in p]}) > 0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             ({cases}) AS bucket
+      FROM embeddings
+    ), q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+    SELECT e.vec_id, round(list_cosine_similarity(e.embedding, q.qv), 3) AS score
+    FROM b e, q
+    WHERE e.vec_id != 0 AND e.bucket = q.qbucket
+    ORDER BY score DESC, e.vec_id
+    LIMIT 10
+    """
+
+
+@query("ann_topk_lsh", _ann_lsh_oracle_sql())
 def q_ann_topk_lsh(spark, sf_dir):
     """LSH-bucketed ANN: random-hyperplane signature buckets, search only
     the query's bucket (the scale path: bucket-local top-k)."""

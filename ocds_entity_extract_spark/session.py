@@ -54,6 +54,12 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # throughput GC: the KG stages are allocation-heavy (explode + string
+        # normalization + columnar cache build); G1's concurrent machinery
+        # contends badly at 32 executor threads in one JVM (measured ~1.5-2x
+        # slower than ParallelGC on the cache-build phases).
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.legacy.createHiveTableByDefault", "false")
     )
