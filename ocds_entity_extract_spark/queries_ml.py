@@ -334,6 +334,74 @@ def q_multimodal_decode_stub(spark, sf_dir):
     return decode_binary_meta(d)
 
 
+@query(
+    "multimodal_features",
+    """
+    SELECT doc_id,
+           [round(CAST(('0x' || substr(sha256(text), 2*i+1, 2)) AS INT) / 255.0, 6)
+            for i in range(0, 8)] AS features
+    FROM documents
+    """,
+)
+def q_multimodal_features(spark, sf_dir):
+    """mapInPandas featurizer (stub model: sha256-byte vector) — the SQL
+    oracle mirrors the fake exactly, so even this mapInPandas path sits
+    under the full value-hash gate."""
+    from ocds_entity_extract_spark.operators.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    feats = extract_features(d, dim=8)
+    return feats.select(
+        "doc_id", F.transform("features", lambda v: F.round(v, 6)).alias("features")
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    """
+    WITH f AS (
+      SELECT doc_id, text, length(text) AS len,
+             CASE WHEN length(text) >= 4 THEN 4 ELSE 1 END AS k
+      FROM documents
+    )
+    SELECT doc_id, CAST(t.i AS BIGINT) AS frame_idx,
+           CAST((t.i * len) // k AS BIGINT) AS offset_bytes,
+           sha256(substring(text, CAST((t.i * len) // k AS BIGINT) + 1, 256)) AS frame_sha
+    FROM f CROSS JOIN unnest(range(f.k)) AS t(i)
+    """,
+)
+def q_multimodal_frame_sample(spark, sf_dir):
+    """mapInPandas FAN-OUT (1 payload row -> k frame rows): the video
+    frame-sampling plumbing. Oracle slices the VARCHAR text — byte-exact
+    here because the driver corpus is pure ASCII (verified); the operator
+    itself is byte-offset-correct for any binary."""
+    from ocds_entity_extract_spark.operators.multimodal import sample_frames
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return sample_frames(d, n_frames=4, frame_bytes=256)
+
+
+@query("multimodal_resize_stub")  # rows-only: iterated-sha keystream output
+def q_multimodal_resize_stub(spark, sf_dir):
+    """mapInPandas binary->binary transform (stub resize): exercises the
+    Arrow binary-output path that would carry real pixel buffers."""
+    from ocds_entity_extract_spark.operators.multimodal import resize_payload
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    resized = resize_payload(d, out_width=16, out_height=16)
+    return resized.select(
+        "doc_id", "out_width", "out_height",
+        F.sha2("payload", 256).alias("payload_sha"),
+        F.octet_length("payload").cast("bigint").alias("payload_bytes"),
+    )
+
+
 # =====================================================================
 # KG pipeline (flagship; rows-only — pandas UDF + LSH + CC)
 # =====================================================================
