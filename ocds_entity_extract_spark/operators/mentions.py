@@ -80,6 +80,42 @@ def mentions_from_spans(spans: DataFrame) -> DataFrame:
     )
 
 
+def surface_dim(spans: DataFrame) -> DataFrame:
+    """DISTINCT mention surfaces -> (surface, name_norm, entity_id).
+
+    Dictionary-encoding of the normalization: surface forms are Zipf-
+    distributed, so the distinct set is orders of magnitude smaller than
+    the mention stream — normalizing (4 regexes) once per distinct surface
+    and broadcast-joining back beats running the regexes per occurrence,
+    in both CPU and memory traffic. Classification composes on top of this
+    dim the same way (see plans/pipeline.py).
+    """
+    return (
+        spans.select(F.explode("mention_spans").alias("surface"))
+        .distinct()
+        .select(
+            "surface",
+            collapse_ws("surface").alias("name_norm"),
+            simple_name("surface").alias("entity_id"),
+        )
+        .filter(F.col("entity_id") != "")
+    )
+
+
+def mentions_via_dim(spans: DataFrame, dim: DataFrame) -> DataFrame:
+    """Explode spans and resolve normalization via the (broadcast) surface
+    dim — one hash probe per mention instead of per-mention regexes.
+
+    At web scale the distinct-surface set can outgrow a broadcast; drop
+    `F.broadcast` and this becomes a shuffle join, still cheaper than
+    re-normalizing every occurrence.
+    """
+    exploded = spans.select(
+        "url", "warc_ts", "domain", F.explode("mention_spans").alias("surface")
+    )
+    return exploded.join(F.broadcast(dim), "surface")
+
+
 def memberships_from_spans(spans: DataFrame) -> DataFrame:
     """detect_spans output -> (url, person_id, role, org_id) edges."""
     m = spans.select("url", F.explode("member_spans").alias("m"))

@@ -5,7 +5,9 @@ Stage graph (≙ reference lifecycle, SURVEY.md §3.4/§3.5):
   pages(url, warc_ts, html, text, lang)
     └─ extract_text (Arrow pandas UDF) + mention/membership span
        regexes — ONE fused scan; small span table cached    [stage 1+2]
-    └─ classify (broadcast override join + codegen rules)  [stage 3]
+    └─ surface dim: distinct surfaces -> normalize+classify ONCE
+       (broadcast override join + codegen rules on the dim), then a
+       broadcast probe resolves each mention occurrence      [stage 3]
     └─ merge_entities (shuffle on entity_id)               [stage 4]
     └─ linking: MinHash-LSH + verify (self-join on bands)  [stage 5]
     └─ connected components (size-adaptive: union-find     [stage 6]
@@ -39,7 +41,8 @@ from ocds_entity_extract_spark.operators.linking import verified_edges
 from ocds_entity_extract_spark.operators.mentions import (
     detect_spans,
     memberships_from_spans,
-    mentions_from_spans,
+    mentions_via_dim,
+    surface_dim,
 )
 from ocds_entity_extract_spark.operators.merge import (
     merge_entities,
@@ -75,7 +78,12 @@ def build_triples(
     if cache_intermediates:
         spans = spans.cache()
 
-    mentions = with_entity_type(mentions_from_spans(spans), classifier_override)
+    # dictionary-encoded normalization + classification: the 4-regex slug
+    # pipeline and the §2.9 classifier run ONCE per DISTINCT surface (Zipf:
+    # orders of magnitude fewer than mentions), then a broadcast probe
+    # resolves each mention occurrence.
+    dim = with_entity_type(surface_dim(spans), classifier_override)
+    mentions = mentions_via_dim(spans, dim)
     if cache_intermediates:
         mentions = mentions.cache()
 
