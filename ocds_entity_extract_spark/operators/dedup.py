@@ -41,32 +41,83 @@ def minhash_candidate_pairs(
     band_size: int = 2,
     max_bucket: int = 64,
     jaccard_threshold: float = 0.5,
+    broadcast_pairs: bool = True,
 ) -> DataFrame:
     """documents -> verified near-dup pairs (id_a, id_b, jaccard).
 
-    Signature build is the codegen path (explode -> hash once -> grouped
-    mins, see linking.minhash_signature_table); verification Jaccard runs
-    on the HASHED shingle sets (exact up to negligible 64-bit collisions).
+    Signature build is the codegen path (explode -> portable md5 hash once
+    -> grouped affine mins, see linking.minhash_signature_table) WITHOUT
+    shingle sets riding the shuffle: at document granularity each set is
+    O(tokens), so shipping every doc's set through the signature agg
+    re-ships ~the corpus (the round-1 bottleneck — 6.3s of a 38s bench).
+
+    Verification instead touches only CANDIDATES: the (small, LSH-bounded)
+    pair table is broadcast against the narrow shingle recompute, so the
+    full-corpus shingle arrays never leave their input partitions and only
+    candidate rows survive into the verify join. With
+    `broadcast_pairs=False` (pair table too big to broadcast — extreme
+    corpus duplication) the same verification runs as one shuffle of
+    candidate-only arrays via a pair-explode + regroup.
+
+    The hash family is md5-derived (functions/phash), so the DuckDB oracle
+    reproduces the FULL path — shingles, signatures, banding, bucket cap,
+    exact-Jaccard verification — value-for-value.
     """
+    from ocds_entity_extract_spark.functions.phash import portable_hash64
     from ocds_entity_extract_spark.operators.linking import (
         _lsh_pairs,
         minhash_signature_table,
     )
 
-    sh = with_word_shingles(docs.select(id_col, text_col), text_col)
-    sig = minhash_signature_table(sh, id_col, num_hashes, band_size).cache()
+    sh = with_word_shingles(docs.select(id_col, text_col), text_col).select(
+        id_col,
+        F.transform("shingles", lambda s: portable_hash64(s)).alias("hs"),
+    )
+    sig = minhash_signature_table(
+        with_word_shingles(docs.select(id_col, text_col), text_col),
+        id_col,
+        num_hashes,
+        band_size,
+        keep_shingle_sets=False,
+    )
     pairs = (
         _lsh_pairs(sig, id_col, max_bucket)
         .withColumnRenamed("src", "id_a")
         .withColumnRenamed("dst", "id_b")
         .distinct()
     )
-    sh_sets = sig.select(F.col(id_col), F.col("sh_hashed"))
-    joined = (
-        pairs.join(sh_sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh_hashed", "sh_a"), "id_a")
-        .join(sh_sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh_hashed", "sh_b"), "id_b")
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
     )
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    if broadcast_pairs:
+        # pairs broadcast twice -> the big shingle table never shuffles
+        half = sh.withColumnRenamed(id_col, "id_a").withColumnRenamed(
+            "hs", "sh_a"
+        ).join(F.broadcast(pairs), "id_a")
+        joined = sh.withColumnRenamed(id_col, "id_b").withColumnRenamed(
+            "hs", "sh_b"
+        ).join(F.broadcast(half), "id_b")
+    else:
+        # scale fallback: explode each pair to two (pair, side) rows, join
+        # the shingle table ONCE, regroup — ships candidate arrays only
+        pe = pairs.select(
+            "id_a",
+            "id_b",
+            F.explode(
+                F.array(
+                    F.struct(F.col("id_a").alias(id_col), F.lit("a").alias("side")),
+                    F.struct(F.col("id_b").alias(id_col), F.lit("b").alias("side")),
+                )
+            ).alias("m"),
+        ).select("id_a", "id_b", F.col(f"m.{id_col}").alias(id_col), "m.side")
+        joined = (
+            pe.join(sh, id_col)
+            .groupBy("id_a", "id_b")
+            .agg(
+                F.first(F.when(F.col("side") == "a", F.col("hs")), True).alias("sh_a"),
+                F.first(F.when(F.col("side") == "b", F.col("hs")), True).alias("sh_b"),
+            )
+        )
     return (
         joined.withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= jaccard_threshold)
@@ -74,27 +125,64 @@ def minhash_candidate_pairs(
     )
 
 
+def _simhash64_py(t: str | None) -> int | None:
+    """Row-at-a-time reference implementation (parity oracle for the
+    vectorized UDF below; NOT used in any hot path)."""
+    if t is None:
+        return None
+    votes = [0] * 64
+    for tok in t.split():
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+        for i in range(64):
+            votes[i] += 1 if (h >> i) & 1 else -1
+    sig = 0
+    for i in range(64):
+        if votes[i] > 0:
+            sig |= 1 << i
+    # wrap to signed 64-bit for Spark LongType
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
 @F.pandas_udf(LongType())
 def simhash64(text: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens; md5-based token hashes
-    (stdlib-deterministic on every executor). Arrow-batched."""
+    (stdlib-deterministic on every executor; DuckDB-reproducible).
 
-    def one(t: str | None) -> int | None:
-        if t is None:
-            return None
-        votes = [0] * 64
-        for tok in t.split():
-            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-            for i in range(64):
-                votes[i] += 1 if (h >> i) & 1 else -1
-        sig = 0
-        for i in range(64):
-            if votes[i] > 0:
-                sig |= 1 << i
-        # wrap to signed 64-bit for Spark LongType
-        return sig - (1 << 64) if sig >= (1 << 63) else sig
+    Vectorized: tokens are deduplicated across the Arrow batch (Zipf — a
+    batch shares most of its vocabulary), each UNIQUE token is md5-hashed
+    once, `np.unpackbits` turns the digests into a (vocab, 64) ±1 matrix,
+    and per-doc bit votes are one `np.add.at` scatter-sum. Replaces the
+    per-token 64-iteration Python inner loop (~50x less interpreter work;
+    parity-tested against `_simhash64_py`).
+    """
+    import numpy as np
 
-    return text.map(one)
+    toks_per_doc = [t.split() if isinstance(t, str) else None for t in text]
+    n = len(toks_per_doc)
+    counts = np.array([len(d) if d else 0 for d in toks_per_doc], dtype=np.int64)
+    flat = [tok for d in toks_per_doc if d for tok in d]
+    votes = np.zeros((n, 64), dtype=np.int64)
+    if flat:
+        uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+        digests = b"".join(hashlib.md5(u.encode()).digest()[:8] for u in uniq)
+        bits = np.unpackbits(
+            np.frombuffer(digests, dtype=np.uint8).reshape(-1, 8), axis=1
+        ).astype(np.int64)
+        # unpackbits is MSB-first on big-endian bytes: column j <-> bit 63-j
+        pm = 2 * bits - 1
+        doc_idx = np.repeat(np.arange(n), counts)
+        np.add.at(votes, doc_idx, pm[inv])
+    sig_bits = (votes > 0).astype(np.uint8)
+    sig = (
+        np.packbits(sig_bits, axis=1)
+        .view(">u8")
+        .reshape(-1)
+        .astype(np.uint64)
+        .view(np.int64)  # two's-complement wrap to Spark LongType
+    )
+    out = pd.Series(sig, dtype="object")
+    out[[d is None for d in toks_per_doc]] = None
+    return out
 
 
 def with_simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:

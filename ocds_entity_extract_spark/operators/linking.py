@@ -62,44 +62,69 @@ def minhash_signature_table(
     id_col: str,
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_size: int = DEFAULT_BAND_SIZE,
+    keep_shingle_sets: bool = True,
+    keep_minhashes: bool = False,
 ) -> DataFrame:
-    """(id, shingles) -> (id, n_shingles, sh_hashed, bands) in ONE shuffle.
+    """(id, shingles) -> (id, [n_shingles, sh_hashed,] bands) in ONE shuffle.
 
-    explode -> xxhash64 once per shingle -> grouped min per hash family
-    (codegen + map-side combine). `sh_hashed` (the distinct hashed shingle
-    set) rides along in the same aggregation for later exact verification,
-    so no second shuffle is needed.
+    explode -> portable md5 hash once per shingle -> grouped min per
+    affine family member (codegen + map-side combine; see functions/phash
+    — the md5-derived family is bit-identical in DuckDB, so signatures sit
+    under the driver's value-hash gate). With `keep_shingle_sets` the
+    distinct hashed shingle set rides along in the same aggregation for
+    later exact verification (right for small per-id sets like entity
+    slugs; for document-granularity sets pass False and verify on a
+    candidate subset instead — shipping every doc's full shingle set
+    through the shuffle re-ships ~the corpus).
     """
-    hashed = df_with_shingles.select(
-        id_col, F.explode("shingles").alias("_s")
-    ).select(id_col, F.xxhash64("_s").alias("_h"))
-    aggs = [
-        F.min(F.xxhash64("_h", F.lit(i))).alias(f"mh{i}") for i in range(num_hashes)
-    ]
-    sig = hashed.groupBy(id_col).agg(
-        *aggs, F.collect_set("_h").alias("sh_hashed")
+    from ocds_entity_extract_spark.functions.phash import (
+        MERSENNE_P,
+        affine_minhash,
+        minhash_params,
+        portable_hash64,
     )
+
+    hashed = (
+        df_with_shingles.select(id_col, F.explode("shingles").alias("_s"))
+        .select(id_col, portable_hash64("_s").alias("_h"))
+        .withColumn("_h31", F.pmod(F.col("_h"), F.lit(MERSENNE_P)))
+    )
+    aggs = [
+        F.min(affine_minhash(F.col("_h31"), a, b)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
+    ]
+    if keep_shingle_sets:
+        aggs.append(F.collect_set("_h").alias("sh_hashed"))
+    sig = hashed.groupBy(id_col).agg(*aggs)
     n_bands = num_hashes // band_size
+    # band key: the band's minhashes joined as a string — engine-agnostic
+    # (no second-level hash needed; the join key is what matters)
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
-                F.xxhash64(
-                    *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh{b * band_size + j}").cast("string")
+                        for j in range(band_size)
+                    ],
                 ).alias("band_hash"),
             )
             for b in range(n_bands)
         ]
     )
-    return (
-        sig.withColumn("bands", bands)
-        .withColumn("n_shingles", F.size("sh_hashed"))
-        .drop(*[f"mh{i}" for i in range(num_hashes)])
-    )
+    sig = sig.withColumn("bands", bands)
+    if keep_shingle_sets:
+        sig = sig.withColumn("n_shingles", F.size("sh_hashed"))
+    if not keep_minhashes:
+        sig = sig.drop(*[f"mh{i}" for i in range(num_hashes)])
+    return sig
 
 
 def with_minhash_bands(
     df: DataFrame,
+    id_col: str = "entity_id",
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_size: int = DEFAULT_BAND_SIZE,
 ) -> DataFrame:
@@ -107,8 +132,9 @@ def with_minhash_bands(
 
     Kept for API/testing symmetry; `candidate_pairs` uses
     `minhash_signature_table` directly (one shuffle, no join-back).
+    `id_col` is explicit — inferring it positionally silently joins on the
+    wrong key for callers whose id is not the first column.
     """
-    id_col = df.columns[0]
     sig = minhash_signature_table(df, id_col, num_hashes, band_size)
     return df.join(sig.select(id_col, "bands"), id_col, "left")
 
@@ -191,6 +217,12 @@ def verified_edges(
     is built once and reused for blocking AND verification (three
     consumers -> cached; it is O(|distinct entities|), far smaller than
     the mention stream — at cluster scale persist to DISK_ONLY instead).
+
+    Cache lifecycle: the cached signature table is attached to the
+    returned DataFrame as ``_cached_deps`` — long-lived sessions (query
+    harnesses) should unpersist those after materializing the edges, or
+    call ``spark.catalog.clearCache()`` between jobs; otherwise repeated
+    invocations accumulate executor storage.
     """
     base = entities.select(id_col).distinct()
     sig = minhash_signature_table(with_shingles(base, id_col), id_col, num_hashes, band_size)
@@ -214,7 +246,7 @@ def verified_edges(
     inter = F.size(F.array_intersect("sh_src", "sh_dst"))
     containment = inter / F.least(F.size("sh_src"), F.size("sh_dst"))
     jac = inter / F.size(F.array_union("sh_src", "sh_dst"))
-    return (
+    edges = (
         joined.withColumn("containment", containment)
         .withColumn("jaccard", jac)
         .filter(
@@ -222,3 +254,6 @@ def verified_edges(
         )
         .select("src", "dst", "containment", "jaccard")
     )
+    if cache_signatures:
+        edges._cached_deps = [sig]  # caller-managed unpersist (see docstring)
+    return edges

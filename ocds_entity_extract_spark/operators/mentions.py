@@ -22,8 +22,6 @@ edges, extracted with the same shared token grammar.
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import ArrayType, StringType
@@ -193,9 +191,3 @@ def detect_memberships(pages: DataFrame, text_col: str = "text") -> DataFrame:
         F.regexp_extract("m", MEMBERSHIP_RE, 2).alias("role"),
         simple_name(F.regexp_extract("m", MEMBERSHIP_RE, 3)).alias("org_id"),
     ).filter((F.col("person_id") != "") & (F.col("org_id") != ""))
-
-
-def detect_mentions_stream(pages: DataFrame, text_col: str = "text") -> Iterator:
-    """Reserved for Structured Streaming reuse: the same narrow projection
-    works unchanged on a streaming DataFrame (no agg here)."""
-    raise NotImplementedError("batch pipeline uses detect_mentions")

@@ -46,8 +46,12 @@ def rank_type(col) -> F.Column:
 
 
 def merge_entities(mentions: DataFrame, id_col: str = "entity_id") -> DataFrame:
-    """Classified mentions -> merged entities table (one shuffle on id)."""
-    first_order = F.struct(F.col("warc_ts"), F.col("url"))
+    """Classified mentions -> merged entities table (one shuffle on id).
+
+    `name_norm` rides in the first-wins ordering struct so two different
+    surfaces on the same (warc_ts, url) resolve deterministically.
+    """
+    first_order = F.struct(F.col("warc_ts"), F.col("url"), F.col("name_norm"))
     agg = (
         mentions.withColumn("_rank", type_rank("entity_type"))
         .groupBy(id_col)
@@ -82,7 +86,7 @@ def merge_entities_salted(
     level 2 unions+sizes. For truly unbounded url sets per entity switch
     page_count to approx_count_distinct at the call site.
     """
-    first_order = F.struct(F.col("warc_ts"), F.col("url"))
+    first_order = F.struct(F.col("warc_ts"), F.col("url"), F.col("name_norm"))
     lvl1 = (
         mentions.withColumn("_rank", type_rank("entity_type"))
         .withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets)))

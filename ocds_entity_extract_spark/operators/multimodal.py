@@ -192,15 +192,19 @@ def resize_payload(
     infinite sha256 keystream of the payload (deterministic, size-exact) —
     a real deployment swaps in PIL `Image.resize`. Exercises the
     binary-out Arrow path (the one that carries real pixel buffers).
+
+    The keystream iterates over ASCII hex digests (block_{i+1} =
+    sha256(hex(block_i))) rather than raw digests so a SQL oracle whose
+    sha256 only accepts VARCHAR can reproduce the bytes exactly.
     """
     n_out = out_width * out_height
 
     def fake_pixels(raw: bytes) -> bytes:
         out = bytearray()
-        block = hashlib.sha256(raw).digest()
+        block_hex = hashlib.sha256(raw).hexdigest()
         while len(out) < n_out:
-            out.extend(block)
-            block = hashlib.sha256(block).digest()
+            out.extend(bytes.fromhex(block_hex))
+            block_hex = hashlib.sha256(block_hex.encode()).hexdigest()
         return bytes(out[:n_out])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

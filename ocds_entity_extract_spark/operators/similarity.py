@@ -50,16 +50,34 @@ def ann_topk_lsh(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_planes: int = 8,
+    dim: int | None = None,
+    multi_probe: bool = True,
 ) -> DataFrame:
-    """Top-k by cosine among vectors sharing the query's LSH bucket."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    """Top-k by cosine among vectors in the query's LSH bucket, plus (by
+    default) all hamming-1 neighbor buckets — multi-probe LSH recovers the
+    recall a single-probe bucket loses when the query sits near a
+    hyperplane, at the cost of n_planes extra (tiny) bucket scans.
+
+    `dim` should be passed (or read from upstream metadata); the
+    `.first()` fallback costs an extra driver job per call.
+    """
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
     bucketed = with_lsh_bucket(embeddings, vec_col, dim, n_planes)
     qrow = bucketed.filter(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("qv"), F.col("bucket").alias("qbucket")
     )
+    if multi_probe:
+        probes = F.array(
+            F.col("qbucket"),
+            *[F.col("qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+        )
+        cond = F.array_contains(probes, F.col("bucket"))
+    else:
+        cond = F.col("bucket") == F.col("qbucket")
     return (
         bucketed.filter(F.col(id_col) != query_vec_id)
-        .join(F.broadcast(qrow), F.col("bucket") == F.col("qbucket"))
+        .join(F.broadcast(qrow), cond)
         .select(id_col, F.round(cosine(F.col(vec_col), F.col("qv")), 3).alias("score"))
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)

@@ -15,7 +15,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ocds_entity_extract_spark.functions.text import collapse_ws
+from ocds_entity_extract_spark.functions.text import collapse_ws, simple_name
 from ocds_entity_extract_spark.queries import ORACLE_SQL, SPARK_QUERIES, _t, query
 
 
@@ -79,24 +79,212 @@ def q_dedup_near_embedding(spark, sf_dir):
     )
 
 
-@query("dedup_minhash_docs")  # rows-only: xxhash64 family has no DuckDB twin
+def _minhash_sig_ctes(
+    src_cte: str, num_hashes: int, band_size: int
+) -> tuple[str, str]:
+    """Shared DuckDB CTE text for the portable minhash family: expects a
+    CTE `{src_cte}` with (id, shingles list<varchar>); emits `hsh` (hashed
+    shingle lists) and `sig` (the K affine minhashes). Constants are the
+    SAME seeded literals the Spark plan bakes in (functions/phash)."""
+    from ocds_entity_extract_spark.functions.phash import (
+        MERSENNE_P as P,
+        minhash_params,
+    )
+
+    mh = ",\n             ".join(
+        f"list_min([({a} * (h % {P}) + {b}) % {P} for h in hs]) AS mh{i}"
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
+    )
+    ctes = f"""
+      hsh AS (
+        SELECT id, [CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
+                    for s in shingles] AS hs
+        FROM {src_cte}
+      ),
+      sig AS (
+        SELECT id,
+             {mh}
+        FROM hsh
+      )"""
+    n_bands = num_hashes // band_size
+    band_selects = "\n        UNION ALL ".join(
+        f"SELECT id, {b} AS band_id, "
+        + " || ',' || ".join(
+            f"CAST(mh{b * band_size + j} AS VARCHAR)" for j in range(band_size)
+        )
+        + " AS band_hash FROM sig"
+        for b in range(n_bands)
+    )
+    return ctes, band_selects
+
+
+def _minhash_docs_oracle_sql(
+    num_hashes: int = 16,
+    band_size: int = 2,
+    max_bucket: int = 64,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of the FULL MinHash-LSH doc-dedup path: word-3-gram
+    shingles -> portable hashes -> affine minhash signatures -> banded
+    buckets -> bucket cap -> candidate self-join -> exact hashed-shingle
+    Jaccard — value-for-value against operators/dedup.minhash_candidate_pairs."""
+    sig_ctes, band_selects = _minhash_sig_ctes("sh", num_hashes, band_size)
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id AS id, string_split_regex(text, '\s+') AS t FROM documents
+      ),
+      sh AS (
+        SELECT id, list_distinct([array_to_string(t[i:i+2], ' ')
+                                  for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS shingles
+        FROM toks
+      ),{sig_ctes},
+      bands AS (
+        {band_selects}
+      ),
+      capped AS (
+        SELECT * FROM (
+          SELECT *, count(*) OVER (PARTITION BY band_id, band_hash) AS bsz FROM bands
+        ) WHERE bsz <= {max_bucket}
+      ),
+      pairs AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM capped a JOIN capped b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.id < b.id
+      )
+    SELECT p.id_a, p.id_b,
+           round(CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+                 / len(list_distinct(list_concat(ha.hs, hb.hs))), 4) AS jaccard
+    FROM pairs p
+    JOIN hsh ha ON ha.id = p.id_a
+    JOIN hsh hb ON hb.id = p.id_b
+    WHERE round(CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+                / len(list_distinct(list_concat(ha.hs, hb.hs))), 4) >= {threshold}
+    """
+
+
+@query("dedup_minhash_docs", _minhash_docs_oracle_sql())
 def q_dedup_minhash_docs(spark, sf_dir):
     """MinHash-LSH near-dup candidates over word 3-gram shingles of
     documents.text (shingle -> minhash -> band -> bucket-join; same
-    machinery as entity linking but on documents)."""
+    machinery as entity linking but on documents). The md5-derived hash
+    family (functions/phash) lets the DuckDB oracle reproduce the whole
+    path, so this sits under the full value-hash gate."""
     from ocds_entity_extract_spark.operators.dedup import minhash_candidate_pairs
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return minhash_candidate_pairs(d)
 
 
-@query("simhash_docs")  # rows-only
+def _simhash_oracle_sql() -> str:
+    """DuckDB twin of operators/dedup.simhash64: per-token md5 -> first 16
+    hex chars as an unsigned 64-bit hash -> per-bit sign votes -> signed
+    64-bit signature (bit 63 contributes -2^63, matching the two's-
+    complement wrap in the UDF)."""
+    votes = ",\n             ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(64)
+    )
+    bit63 = "(CASE WHEN v63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END)"
+    others = "\n           + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(63)
+    )
+    return rf"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+                                          x -> x <> '')) AS t
+        FROM documents
+      ),
+      h AS (
+        SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 16)) AS UBIGINT) AS h FROM tok
+      ),
+      v AS (
+        SELECT doc_id,
+             {votes}
+        FROM h GROUP BY doc_id
+      )
+    SELECT d.doc_id,
+           CAST({bit63}
+           + {others} AS BIGINT) AS simhash
+    FROM documents d LEFT JOIN v USING (doc_id)
+    """
+
+
+@query("simhash_docs", _simhash_oracle_sql())
 def q_simhash_docs(spark, sf_dir):
-    """64-bit SimHash per document (token-hash sign-vote), Arrow-batched."""
+    """64-bit SimHash per document (token-hash sign-vote), Arrow-batched +
+    numpy-vectorized; md5 token hashes make the DuckDB oracle exact."""
     from ocds_entity_extract_spark.operators.dedup import with_simhash
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return with_simhash(d).select("doc_id", "simhash")
+
+
+def _linking_signatures_oracle_sql(num_hashes: int = 16) -> str:
+    """DuckDB twin of linking.minhash_signature_table over entity slugs
+    derived from part names (slug -> char-3-gram shingles -> affine
+    minhash signature + distinct-shingle count)."""
+    from ocds_entity_extract_spark.functions.phash import (
+        MERSENNE_P as P,
+        minhash_params,
+    )
+
+    sig_cols = " || ',' || ".join(
+        f"CAST(list_min([({a} * (h % {P}) + {b}) % {P} for h in hs]) AS VARCHAR)"
+        for a, b in minhash_params(num_hashes)
+    )
+    return """
+    WITH slug AS (
+        SELECT DISTINCT trim(regexp_replace(lower(p_name), '[^a-z0-9]+', '-', 'g'), '-')
+               AS entity_id
+        FROM part
+      ),
+      sh AS (
+        SELECT entity_id,
+               list_distinct([substr(entity_id, i, 3)
+                              for i in range(1, greatest(length(entity_id) - 2, 1) + 1)])
+               AS shingles
+        FROM slug
+      ),
+      hsh AS (
+        SELECT entity_id,
+               [CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) for s in shingles] AS hs
+        FROM sh
+      )
+    SELECT entity_id,
+           {sig_cols} AS signature,
+           CAST(len(list_distinct(hs)) AS BIGINT) AS n_shingles
+    FROM hsh
+    """.replace("{sig_cols}", sig_cols)
+
+
+@query("linking_signatures", _linking_signatures_oracle_sql())
+def q_linking_signatures(spark, sf_dir):
+    """Entity-linking MinHash signature table (the blocking stage of the
+    sameAs path) over slugs of part names — full value-hash oracle for the
+    signature math itself (shingling + portable hash + affine family)."""
+    from ocds_entity_extract_spark.operators.linking import (
+        minhash_signature_table,
+        with_shingles,
+    )
+
+    slugs = (
+        _t(spark, sf_dir, "part")
+        .select(simple_name("p_name").alias("entity_id"))
+        .distinct()
+    )
+    sig = minhash_signature_table(
+        with_shingles(slugs, "entity_id"),
+        "entity_id",
+        keep_shingle_sets=True,
+        keep_minhashes=True,
+    )
+    return sig.select(
+        "entity_id",
+        F.concat_ws(",", *[F.col(f"mh{i}").cast("string") for i in range(16)]).alias(
+            "signature"
+        ),
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+    )
 
 
 @query(
@@ -160,7 +348,8 @@ def q_ann_topk_bruteforce(spark, sf_dir):
 
 def _ann_lsh_oracle_sql(dim: int = 64, n_planes: int = 4, seed: int = 7) -> str:
     """DuckDB twin of ann_topk_lsh: the SAME seeded hyperplanes (plain
-    literals in both plans) -> sign-pattern bucket -> bucket-local top-k."""
+    literals in both plans) -> sign-pattern bucket -> multi-probe (query
+    bucket + every hamming-1 neighbor) -> bucket-local top-k."""
     from ocds_entity_extract_spark.operators.similarity import _hyperplanes
 
     planes = _hyperplanes(dim, n_planes, seed)
@@ -168,6 +357,10 @@ def _ann_lsh_oracle_sql(dim: int = 64, n_planes: int = 4, seed: int = 7) -> str:
         f"CASE WHEN list_dot_product(embedding, {[round(x, 17) for x in p]}) > 0 "
         f"THEN {1 << i} ELSE 0 END"
         for i, p in enumerate(planes)
+    )
+    probe = " OR ".join(
+        ["e.bucket = q.qbucket"]
+        + [f"e.bucket = xor(q.qbucket, {1 << i})" for i in range(n_planes)]
     )
     return f"""
     WITH b AS (
@@ -177,20 +370,24 @@ def _ann_lsh_oracle_sql(dim: int = 64, n_planes: int = 4, seed: int = 7) -> str:
     ), q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
     SELECT e.vec_id, round(list_cosine_similarity(e.embedding, q.qv), 3) AS score
     FROM b e, q
-    WHERE e.vec_id != 0 AND e.bucket = q.qbucket
+    WHERE e.vec_id != 0 AND ({probe})
     ORDER BY score DESC, e.vec_id
     LIMIT 10
     """
 
 
-@query("ann_topk_lsh", _ann_lsh_oracle_sql())
+EMBEDDING_DIM = 64  # driver testdata embeddings.parquet vector length
+
+
+@query("ann_topk_lsh", _ann_lsh_oracle_sql(dim=EMBEDDING_DIM))
 def q_ann_topk_lsh(spark, sf_dir):
-    """LSH-bucketed ANN: random-hyperplane signature buckets, search only
-    the query's bucket (the scale path: bucket-local top-k)."""
+    """Multi-probe LSH ANN: random-hyperplane signature buckets; search the
+    query's bucket + hamming-1 neighbors (the scale path: bucket-local
+    top-k with recall recovered by probing adjacent buckets)."""
     from ocds_entity_extract_spark.operators.similarity import ann_topk_lsh
 
     e = _t(spark, sf_dir, "embeddings")
-    return ann_topk_lsh(e, query_vec_id=0, k=10, n_planes=4)
+    return ann_topk_lsh(e, query_vec_id=0, k=10, n_planes=4, dim=EMBEDDING_DIM)
 
 
 # =====================================================================
@@ -322,10 +519,24 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
-@query("multimodal_decode_stub")  # rows-only: stubbed decoder
+@query(
+    "multimodal_decode_stub",
+    """
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_sha,
+           CAST(16 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) % 64 AS BIGINT)
+             AS fake_width,
+           CAST(16 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INT) % 64 AS BIGINT)
+             AS fake_height
+    FROM documents
+    """,
+)
 def q_multimodal_decode_stub(spark, sf_dir):
     """mapInPandas over binary payloads through the (stubbed) decoder —
-    the Spark-side plumbing (schema, batching, UDF signature) is real."""
+    the Spark-side plumbing (schema, batching, UDF signature) is real.
+    The stub derives fake dims from sha256 bytes 0/1, so the DuckDB oracle
+    mirrors it exactly (hex-byte arithmetic) — full value-hash gate."""
     from ocds_entity_extract_spark.operators.multimodal import decode_binary_meta
 
     d = _t(spark, sf_dir, "documents").select(
@@ -338,15 +549,18 @@ def q_multimodal_decode_stub(spark, sf_dir):
     "multimodal_features",
     """
     SELECT doc_id,
-           [round(CAST(('0x' || substr(sha256(text), 2*i+1, 2)) AS INT) / 255.0, 6)
-            for i in range(0, 8)] AS features
+           array_to_string(
+             [printf('%.6f', CAST(('0x' || substr(sha256(text), 2*i+1, 2)) AS INT) / 255.0)
+              for i in range(0, 8)], ',') AS features
     FROM documents
     """,
 )
 def q_multimodal_features(spark, sf_dir):
     """mapInPandas featurizer (stub model: sha256-byte vector) — the SQL
     oracle mirrors the fake exactly, so even this mapInPandas path sits
-    under the full value-hash gate."""
+    under the full value-hash gate. The vector is rendered as a fixed-
+    format comma-joined string per the repo convention (queries.py:13) —
+    raw array columns crash the driver's pandas canonicalizer."""
     from ocds_entity_extract_spark.operators.multimodal import extract_features
 
     d = _t(spark, sf_dir, "documents").select(
@@ -354,7 +568,10 @@ def q_multimodal_features(spark, sf_dir):
     )
     feats = extract_features(d, dim=8)
     return feats.select(
-        "doc_id", F.transform("features", lambda v: F.round(v, 6)).alias("features")
+        "doc_id",
+        F.array_join(
+            F.transform("features", lambda v: F.format_number(v, 6)), ","
+        ).alias("features"),
     )
 
 
@@ -385,10 +602,34 @@ def q_multimodal_frame_sample(spark, sf_dir):
     return sample_frames(d, n_frames=4, frame_bytes=256)
 
 
-@query("multimodal_resize_stub")  # rows-only: iterated-sha keystream output
+def _resize_oracle_sql(out_width: int = 16, out_height: int = 16) -> str:
+    """DuckDB twin of the resize stub: the hex-iterated sha256 keystream
+    (block_{i+1} = sha256(hex(block_i)), 32 bytes per block) as chained
+    CTEs; the output payload is compared as its lowercase hex rendering."""
+    n_out = out_width * out_height
+    n_blocks = -(-n_out // 32)
+    ctes = ["k1 AS (SELECT doc_id, sha256(text) AS b1 FROM documents)"]
+    for i in range(2, n_blocks + 1):
+        ctes.append(f"k{i} AS (SELECT *, sha256(b{i-1}) AS b{i} FROM k{i-1})")
+    concat = "||".join(f"b{i}" for i in range(1, n_blocks + 1))
+    cte_sql = ",\n         ".join(ctes)
+    return f"""
+    WITH {cte_sql}
+    SELECT doc_id,
+           CAST({out_width} AS BIGINT) AS out_width,
+           CAST({out_height} AS BIGINT) AS out_height,
+           substr({concat}, 1, {2 * n_out}) AS payload_hex,
+           CAST({n_out} AS BIGINT) AS payload_bytes
+    FROM k{n_blocks}
+    """
+
+
+@query("multimodal_resize_stub", _resize_oracle_sql(16, 16))
 def q_multimodal_resize_stub(spark, sf_dir):
     """mapInPandas binary->binary transform (stub resize): exercises the
-    Arrow binary-output path that would carry real pixel buffers."""
+    Arrow binary-output path that would carry real pixel buffers. The
+    output bytes are rendered as lowercase hex so the DuckDB oracle (which
+    mirrors the keystream on VARCHAR digests) hash-matches byte-for-byte."""
     from ocds_entity_extract_spark.operators.multimodal import resize_payload
 
     d = _t(spark, sf_dir, "documents").select(
@@ -396,8 +637,10 @@ def q_multimodal_resize_stub(spark, sf_dir):
     )
     resized = resize_payload(d, out_width=16, out_height=16)
     return resized.select(
-        "doc_id", "out_width", "out_height",
-        F.sha2("payload", 256).alias("payload_sha"),
+        "doc_id",
+        F.col("out_width").cast("bigint").alias("out_width"),
+        F.col("out_height").cast("bigint").alias("out_height"),
+        F.lower(F.hex("payload")).alias("payload_hex"),
         F.octet_length("payload").cast("bigint").alias("payload_bytes"),
     )
 
