@@ -23,17 +23,39 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _datagen_fingerprint() -> str:
+    """Version tag for the cached corpus: hash of datagen.py source, so a
+    datagen change can never silently reuse a stale corpus."""
+    import hashlib
+
+    src = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "ocds_entity_extract_spark"
+        / "datagen.py"
+    ).read_bytes()
+    return hashlib.sha256(src).hexdigest()[:10]
+
+
 def corpus_path(n_pages: int, seed: int = 42) -> str:
-    """Write-once parquet corpus shared by every parallelism level."""
+    """Write-once parquet corpus shared by every parallelism level.
+
+    The directory name carries a datagen fingerprint and a _SUCCESS marker
+    is written only after ALL files land — an interrupted write or an older
+    datagen can never be silently reused as scaling-evidence input.
+    """
     out = pathlib.Path(os.environ.get("SPARK_GRAFT_TMP", "/tmp")) / (
-        f"kg_corpus_n{n_pages}_s{seed}"
+        f"kg_corpus_n{n_pages}_s{seed}_v{_datagen_fingerprint()}"
     )
-    marker = out / "pages.parquet"
-    if not marker.exists():
+    success = out / "_SUCCESS"
+    if not success.exists():
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
         from ocds_entity_extract_spark.datagen import write_corpus_parquet
 
         write_corpus_parquet(str(out), n_pages, seed=seed)
-    return str(marker)
+        success.touch()
+    return str(out / "pages.parquet")
 
 
 def main() -> None:

@@ -122,7 +122,7 @@ def main() -> int:
     eff_rows = "\n".join(
         f"- **local[{a}] -> local[{b}] (x4 cores): {e:.3f}** "
         f"(pure-CPU control on this box: {ctrl_effs[(a, b)]:.3f}; "
-        f"control-normalized: {min(1.0, e / ctrl_effs[(a, b)]):.3f})"
+        f"control-normalized: {e / ctrl_effs[(a, b)]:.3f})"
         for (a, b), e in effs.items()
     )
     t_all = {results[c]["triples"] for c in levels}
@@ -170,14 +170,14 @@ reported anyway as the transparent single-box stress number.
             f"{a}->{b}": round(e, 3) for (a, b), e in ctrl_effs.items()
         },
         "normalized": {
-            f"{a}->{b}": round(min(1.0, e / ctrl_effs[(a, b)]), 3)
+            f"{a}->{b}": round(e / ctrl_effs[(a, b)], 3)
             for (a, b), e in effs.items()
         },
         "levels": {str(c): results[c] for c in levels},
     }))
-    eff_h = effs.get(headline, 0.0)
-    norm_h = eff_h / ctrl_effs.get(headline, 1.0)
-    return 0 if max(eff_h, norm_h) >= 0.8 else 1
+    # gate on RAW efficiency for the headline pair (the north-rule number);
+    # the control-normalized value is reported as context, never as the gate
+    return 0 if effs.get(headline, 0.0) >= 0.8 else 1
 
 
 if __name__ == "__main__":

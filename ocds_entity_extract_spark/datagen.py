@@ -74,6 +74,7 @@ class Entity:
     name: str
     etype: str                       # person | company | institution
     variants: list[str] = field(default_factory=list)  # alias surfaces
+    place: str | None = None         # trailing place in institution names
 
     @property
     def all_surfaces(self) -> list[str]:
@@ -169,10 +170,13 @@ def _mk_entities(rng: random.Random, n_person: int, n_company: int,
         tries += 1
         base = f"{rng.choice(INST_KW)} {rng.choice(INST_TOPIC)}"
         if rng.random() < 0.5:
-            full = f"{base} de {rng.choice(PLACES)}"
+            place = rng.choice(PLACES)
+            full = f"{base} de {place}"
             e = uni.add(full, "institution")
-            if e and rng.random() < 0.5:        # place-drop alias
-                uni.add_alias(e, base)
+            if e:
+                e.place = place
+                if rng.random() < 0.5:          # place-drop alias
+                    uni.add_alias(e, base)
         else:
             uni.add(base, "institution")
     return uni
@@ -265,8 +269,16 @@ def generate_corpus(n_pages: int, seed: int = 42,
             page_mentions.append((url, e))
 
         if rng.random() < 0.35:                   # membership sentence
-            p = rng.choice(persons)
+            # mostly person members; ~15% org-org memberships so entity
+            # docs exercise parent_id / 'unidad-compradora' (reference
+            # extract.js:866-868: institutions with a memberOf parent)
+            if rng.random() < 0.85:
+                p = rng.choice(persons)
+            else:
+                p = rng.choice(orgs)
             o = rng.choice(orgs)
+            if o is p:
+                o = orgs[(orgs.index(p) + 1) % len(orgs)]
             role = rng.choice(ROLES)
             psurf = p.name if not p.variants or rng.random() < 0.7 else rng.choice(p.variants)
             paras.append(
@@ -302,6 +314,36 @@ def generate_corpus(n_pages: int, seed: int = 42,
     for p, role, o in member_facts:
         golden.add((canon[id(p)], "memberOf", canon[id(o)]))
         membership_facts.append((canon[id(p)], role, canon[id(o)]))
+
+    # ---- area golden: mirror of plans/areas.infer_institution_regions ----
+    # (inst, inArea, state_code) + (state_code, partOf, 'mx') for every
+    # institution component with a place-suffixed SEEN slug; region resolves
+    # to min(state_name) among dim matches, exactly like the pipeline.
+    from ocds_entity_extract_spark.functions.geo import MX_STATE_ALIASES, MX_STATES
+
+    iso_by_name = dict(MX_STATES)
+    state_dim = [(n, c, simple_name_py(n)) for n, c in MX_STATES] + [
+        (a, iso_by_name[canon_name], simple_name_py(a))
+        for a, canon_name in MX_STATE_ALIASES
+    ]
+    slug2iso = {slug: iso for _, iso, slug in state_dim}
+    for e in ents:
+        if e.etype != "institution":
+            continue
+        seen = seen_surfaces.get(id(e))
+        if not seen:
+            continue
+        slugs = {simple_name_py(s) for s in seen}
+        matches = [
+            name
+            for name, _iso, nslug in state_dim
+            if any(slug.endswith("-de-" + nslug) for slug in slugs)
+        ]
+        if matches:
+            region = min(matches)
+            iso = slug2iso[simple_name_py(region)]
+            golden.add((canon[id(e)], "inArea", iso))
+            golden.add((iso, "partOf", "mx"))
 
     aux = {"entities": ents, "classifier_override": override_rows,
            "memberships": membership_facts, "canonical": canon}

@@ -60,6 +60,44 @@ def heuristic_type_col(name_norm, slug) -> F.Column:
     )
 
 
+def company_subtype_col(slug) -> F.Column:
+    """Legal-suffix subtype of a company slug ('s-a-de-c-v', 'llc', ...) or
+    NULL — ≙ laundry.companyType feeding company subclassification
+    (reference extract.js:732-737)."""
+    c = F.col(slug) if isinstance(slug, str) else slug
+    return F.nullif(F.regexp_extract(c, COMPANY_SUFFIX_SLUG_RE, 1), F.lit(""))
+
+
+def subclassification_col(slug, entity_type, company_subtype, has_parent) -> F.Column:
+    """Entity subclassification, reference precedence re-expressed:
+
+    institution (reference extract.js:859-873):
+      1. 'banco' when the name leads with banco (funder-role analogue);
+      2. the institution keyword itself (≙ party.details.classification —
+         the only classification signal a web mention carries);
+      3. 'unidad-compradora' when a memberOf parent exists
+         (extract.js:866-868);
+      4. 'dependencia' default (extract.js:871).
+    company: the legal-suffix subtype (≙ laundry.companyType,
+      extract.js:732-737) — pass the group-level `company_subtype`
+      (aggregated over alias slugs: the canonical alias may be the
+      suffix-less form).
+    person: NULL (the reference emits no person subclassification).
+    """
+    first_tok = F.element_at(F.split(slug, "-"), 1)
+    inst = (
+        F.when(first_tok == F.lit("banco"), F.lit("banco"))
+        .when(first_tok.isin([k for k in INSTITUTION_KEYWORDS if k != "banco"]), first_tok)
+        .when(has_parent, F.lit("unidad-compradora"))
+        .otherwise(F.lit("dependencia"))
+    )
+    return (
+        F.when(entity_type == "institution", inst)
+        .when(entity_type == "company", company_subtype)
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
 def load_classifier_override(spark, paths_or_df) -> DataFrame:
     """classifier CSV(s) -> (name_norm, override_type) broadcast dim.
 

@@ -18,7 +18,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ocds_entity_extract_spark.functions.text import launder, simple_name
 
-# (iso2, spanish name) — representative ISO-3166 subset, es-MX usage
+# (iso2, spanish name) — ISO-3166 at reference parity (~80+ entries, ≙ the
+# reference's getCountryName switch arms, extract.js:1384-1467; re-derived
+# from public ISO-3166 data, es-MX usage)
 COUNTRIES: list[tuple[str, str]] = [
     ("MX", "México"), ("US", "Estados Unidos"), ("GT", "Guatemala"),
     ("BZ", "Belice"), ("HN", "Honduras"), ("SV", "El Salvador"),
@@ -35,6 +37,22 @@ COUNTRIES: list[tuple[str, str]] = [
     ("IN", "India"), ("AU", "Australia"), ("NZ", "Nueva Zelanda"),
     ("CA", "Canadá"), ("ZA", "Sudáfrica"), ("EG", "Egipto"),
     ("TR", "Turquía"), ("GR", "Grecia"), ("IE", "Irlanda"), ("IL", "Israel"),
+    ("AF", "Afganistán"), ("SA", "Arabia Saudita"), ("DZ", "Argelia"),
+    ("BD", "Bangladés"), ("BY", "Bielorrusia"), ("BG", "Bulgaria"),
+    ("KH", "Camboya"), ("QA", "Catar"), ("CZ", "República Checa"),
+    ("CY", "Chipre"), ("HR", "Croacia"), ("AE", "Emiratos Árabes Unidos"),
+    ("SK", "Eslovaquia"), ("SI", "Eslovenia"), ("EE", "Estonia"),
+    ("ET", "Etiopía"), ("PH", "Filipinas"), ("GH", "Ghana"), ("HT", "Haití"),
+    ("HU", "Hungría"), ("ID", "Indonesia"), ("IQ", "Irak"), ("IR", "Irán"),
+    ("IS", "Islandia"), ("JM", "Jamaica"), ("JO", "Jordania"),
+    ("KE", "Kenia"), ("KW", "Kuwait"), ("LV", "Letonia"), ("LB", "Líbano"),
+    ("LT", "Lituania"), ("LU", "Luxemburgo"), ("MY", "Malasia"),
+    ("MT", "Malta"), ("MA", "Marruecos"), ("MC", "Mónaco"), ("NG", "Nigeria"),
+    ("PK", "Pakistán"), ("PR", "Puerto Rico"), ("RO", "Rumania"),
+    ("SN", "Senegal"), ("RS", "Serbia"), ("SG", "Singapur"), ("SY", "Siria"),
+    ("LK", "Sri Lanka"), ("TH", "Tailandia"), ("TW", "Taiwán"),
+    ("TN", "Túnez"), ("UA", "Ucrania"), ("VN", "Vietnam"), ("AM", "Armenia"),
+    ("GE", "Georgia"), ("MD", "Moldavia"), ("AL", "Albania"),
 ]
 
 # (canonical name, iso code); aliases reference the canonical name

@@ -100,18 +100,26 @@ def surface_dim(spans: DataFrame) -> DataFrame:
     )
 
 
-def mentions_via_dim(spans: DataFrame, dim: DataFrame) -> DataFrame:
-    """Explode spans and resolve normalization via the (broadcast) surface
-    dim — one hash probe per mention instead of per-mention regexes.
+def mentions_via_dim(
+    spans: DataFrame, dim: DataFrame, broadcast: bool = True
+) -> DataFrame:
+    """Explode spans and resolve normalization via the surface dim — one
+    hash probe per mention instead of per-mention regexes.
 
-    At web scale the distinct-surface set can outgrow a broadcast; drop
-    `F.broadcast` and this becomes a shuffle join, still cheaper than
-    re-normalizing every occurrence.
+    `broadcast=True` hints the dim into a broadcast hash join (right when
+    the distinct-surface count is KNOWN small — the caller has counted or
+    bounded it). `broadcast=False` leaves the join unhinted: AQE picks
+    broadcast vs shuffle from runtime sizes, the safe default when the
+    distinct-surface set may outgrow executor memory (10^9+ distinct
+    surfaces at full-crawl scale would OOM every executor under a forced
+    hint — the round-1 scale-killer this parameter removes).
+    plans/pipeline.build_triples counts the (cached) dim and passes the
+    decision in (threshold `max_broadcast_surfaces`).
     """
     exploded = spans.select(
         "url", "warc_ts", "domain", F.explode("mention_spans").alias("surface")
     )
-    return exploded.join(F.broadcast(dim), "surface")
+    return exploded.join(F.broadcast(dim) if broadcast else dim, "surface")
 
 
 def memberships_from_spans(spans: DataFrame) -> DataFrame:

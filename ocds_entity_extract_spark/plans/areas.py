@@ -24,8 +24,43 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ocds_entity_extract_spark.functions.geo import with_country_code, with_state_code
+from ocds_entity_extract_spark.functions.geo import (
+    mx_state_dim,
+    with_country_code,
+    with_state_code,
+)
 from ocds_entity_extract_spark.functions.text import launder, membership_id, simple_name
+
+
+def infer_institution_regions(
+    inst_aliases: DataFrame, spark: SparkSession
+) -> DataFrame:
+    """(canonical_id, alias_slug) institution rows -> address rows for
+    `with_area_ancestors`.
+
+    Web-scale analogue of consuming party.address (reference
+    extract.js:897-982): a raw web mention never carries a structured
+    address, so the region is inferred from place-suffixed institution
+    names ('Secretaría de Salud de Jalisco' -> region Jalisco) via a
+    BROADCAST suffix probe against the (tiny) state dim — a 38-row
+    nested-loop broadcast join, constant cost per alias at any scale.
+    Ambiguous matches resolve to min(state_name) (deterministic).
+    """
+    dim = mx_state_dim(spark)
+    matched = inst_aliases.join(
+        F.broadcast(dim),
+        inst_aliases["alias_slug"].endswith(
+            F.concat(F.lit("-de-"), dim["name_slug"])
+        ),
+    )
+    best = matched.groupBy("canonical_id").agg(F.min("state_name").alias("region"))
+    return best.select(
+        F.col("canonical_id").alias("entity_id"),
+        F.lit("México").alias("country_name"),
+        "region",
+        F.lit(None).cast("string").alias("locality"),
+        F.lit("region").alias("gov_level"),
+    )
 
 
 def _level_rank(col):

@@ -16,17 +16,48 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ocds_entity_extract_spark.functions.classify import (
+    company_subtype_col,
+    subclassification_col,
+)
 from ocds_entity_extract_spark.functions.text import membership_id
 
+# role buckets for per-role counters (≙ the reference's fixed
+# contract_count{buyer,supplier,funder} buckets, extract.js:216-268/546-578)
+ROLE_BUCKETS: dict[str, tuple[str, ...]] = {
+    "director_general": ("director general", "directora general"),
+    "titular": ("titular",),
+    "presidente": ("presidente", "presidenta"),
+    "gerente": ("gerente",),
+}
 
-def entity_documents(entities: DataFrame, mapping: DataFrame) -> DataFrame:
+
+def entity_documents(
+    entities: DataFrame,
+    mapping: DataFrame,
+    member_edges: DataFrame | None = None,
+) -> DataFrame:
     """Merged entities -> canonical output documents.
 
     - canonicalized id (sameAs mapping applied; alias rows folded into the
       canonical doc's other_names)
-    - classification array ≙ the reference's classification field
-    - counters struct ≙ contract_count/purchase_count role buckets
-      (mention/page counts are the web-scale analogue)
+    - classification array ≙ the reference's classification field;
+      subclassification ≙ institution subclass chain (extract.js:859-873)
+      + company legal-suffix subtype (extract.js:732-737)
+    - identifiers: (id, scheme) struct array, set-union-deduped across the
+      alias group ≙ identifier + additionalIdentifiers assembly
+      (extract.js:630-643, 739-748) — every alias slug under scheme
+      'slug', every source domain under scheme 'domain'
+    - parent_id: min org the entity is a member of (orgs only) ≙ the
+      memberOf parent (extract.js:866-868)
+    - counters struct ≙ contract_count/purchase_count role buckets:
+      mention/page counts plus per-role membership counts
+      (`membership_count.{director_general,titular,presidente,gerente}`)
+      and `member_count` (members hosted as the parent org)
+
+    `member_edges` is PipelineResult.member_edges
+    (url, member_canon, role, org_canon); pass None for a mention-only
+    corpus — membership-derived fields come out zero/null.
     """
     canon = (
         entities.join(mapping, "entity_id")
@@ -47,6 +78,8 @@ def entity_documents(entities: DataFrame, mapping: DataFrame) -> DataFrame:
                     )
                 )
             ).alias("_all_names"),
+            F.array_sort(F.collect_set("entity_id")).alias("_alias_slugs"),
+            F.max(company_subtype_col(F.col("entity_id"))).alias("_subtype"),
             F.sum("mention_count").alias("mention_count"),
             F.sum("page_count").alias("page_count"),
             F.min("first_seen").alias("first_seen"),
@@ -56,20 +89,83 @@ def entity_documents(entities: DataFrame, mapping: DataFrame) -> DataFrame:
             ),
         )
     )
+
+    if member_edges is not None:
+        role_aggs = [
+            F.sum(
+                F.when(F.col("role").isin(*roles), F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias(f"n_{bucket}")
+            for bucket, roles in ROLE_BUCKETS.items()
+        ]
+        as_member = member_edges.groupBy(
+            F.col("member_canon").alias("canonical_id")
+        ).agg(
+            *role_aggs,
+            F.min(
+                F.when(F.col("org_canon") != F.col("member_canon"), F.col("org_canon"))
+            ).alias("_parent_id"),
+        )
+        as_parent = member_edges.groupBy(
+            F.col("org_canon").alias("canonical_id")
+        ).agg(F.countDistinct("member_canon").cast("long").alias("member_count"))
+        canon = canon.join(as_member, "canonical_id", "left").join(
+            as_parent, "canonical_id", "left"
+        )
+    else:
+        for bucket in ROLE_BUCKETS:
+            canon = canon.withColumn(f"n_{bucket}", F.lit(None).cast("long"))
+        canon = canon.withColumn(
+            "_parent_id", F.lit(None).cast("string")
+        ).withColumn("member_count", F.lit(None).cast("long"))
+
     etype = (
         F.when(F.col("_rank") == 3, "institution")
         .when(F.col("_rank") == 2, "company")
         .otherwise("person")
+    )
+    subclass = subclassification_col(
+        F.col("canonical_id"),
+        etype,
+        F.col("_subtype"),
+        # parent_id only counts for the unidad-compradora rule when the
+        # entity is an org (persons use role counters instead)
+        F.col("_parent_id").isNotNull(),
+    )
+    identifiers = F.array_sort(
+        F.array_distinct(
+            F.concat(
+                F.transform(
+                    "_alias_slugs",
+                    lambda s: F.struct(s.alias("id"), F.lit("slug").alias("scheme")),
+                ),
+                F.transform(
+                    "sources",
+                    lambda d: F.struct(d.alias("id"), F.lit("domain").alias("scheme")),
+                ),
+            )
+        )
     )
     doc = canon.select(
         F.col("canonical_id").alias("id"),
         "name",
         etype.alias("entity_type"),
         F.array(etype).alias("classification"),
+        F.filter(F.array(subclass), lambda x: x.isNotNull()).alias(
+            "subclassification"
+        ),
+        F.when(etype != "person", F.col("_parent_id")).alias("parent_id"),
+        identifiers.alias("identifiers"),
         F.array_remove(F.col("_all_names"), F.col("name")).alias("other_names"),
         F.struct(
             F.col("mention_count").alias("mentions"),
             F.col("page_count").alias("pages"),
+            F.struct(
+                *[
+                    F.coalesce(F.col(f"n_{bucket}"), F.lit(0)).alias(bucket)
+                    for bucket in ROLE_BUCKETS
+                ]
+            ).alias("membership_count"),
+            F.coalesce(F.col("member_count"), F.lit(0)).alias("members"),
         ).alias("counters"),
         "sources",
         "first_seen",

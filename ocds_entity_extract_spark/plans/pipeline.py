@@ -25,7 +25,11 @@ reference extract.js:1102-1218 / SURVEY.md §1.3):
   (url,       'mentions', canonical_entity)
   (canonical, 'type',     person|company|institution)
   (alias,     'sameAs',   canonical)                — linking output
-  (person,    'memberOf', org)                      — membership sentences
+  (member,    'memberOf', org)                      — membership sentences
+  (inst,      'inArea',   state)                    — region inferred from
+  (state,     'partOf',   country)                    place-suffixed names
+                                                      (≙ extract.js:897-982
+                                                      area array + edges)
 """
 
 from __future__ import annotations
@@ -58,6 +62,8 @@ class PipelineResult:
     mentions: DataFrame
     mapping: DataFrame          # entity_id -> canonical_id
     sameas_edges: DataFrame
+    member_edges: DataFrame     # (url, member_canon, role, org_canon)
+    area_nodes: DataFrame       # deduped area node table
 
 
 def build_triples(
@@ -66,6 +72,7 @@ def build_triples(
     classifier_override: DataFrame | None = None,
     salted_merge: bool = False,
     cache_intermediates: bool = True,
+    max_broadcast_surfaces: int = 2_000_000,
 ) -> PipelineResult:
     """Run the full plan; all returned DataFrames are lazy except cached
     intermediates."""
@@ -81,9 +88,19 @@ def build_triples(
     # dictionary-encoded normalization + classification: the 4-regex slug
     # pipeline and the §2.9 classifier run ONCE per DISTINCT surface (Zipf:
     # orders of magnitude fewer than mentions), then a broadcast probe
-    # resolves each mention occurrence.
+    # resolves each mention occurrence. The broadcast hint is
+    # SIZE-ADAPTIVE: the cached dim is counted (cheap — it materializes a
+    # cache every later stage reuses) and the hint applies only under
+    # `max_broadcast_surfaces`; above it (or uncached) the join is left to
+    # AQE's runtime-size decision so a 10^9-surface crawl can never OOM on
+    # a forced broadcast.
     dim = with_entity_type(surface_dim(spans), classifier_override)
-    mentions = mentions_via_dim(spans, dim)
+    if cache_intermediates:
+        dim = dim.cache()
+        use_broadcast = dim.count() <= max_broadcast_surfaces
+    else:
+        use_broadcast = False
+    mentions = mentions_via_dim(spans, dim, broadcast=use_broadcast)
     if cache_intermediates:
         mentions = mentions.cache()
 
@@ -112,17 +129,34 @@ def build_triples(
 
     # component-level type: max precedence across ALL mentions of the
     # component (order-independent A16 fixpoint, reference extract.js:310-318)
-    canon_types = (
+    canon_rank = (
         mentions.join(mapping, "entity_id")
         .select("canonical_id", type_rank("entity_type").alias("_rank"))
         .groupBy("canonical_id")
         .agg(F.max("_rank").alias("_rank"))
-        .select(
-            F.col("canonical_id").alias("subj"),
-            F.lit("type").alias("pred"),
-            rank_type(F.col("_rank")).alias("obj"),
-        )
     )
+    canon_types = canon_rank.select(
+        F.col("canonical_id").alias("subj"),
+        F.lit("type").alias("pred"),
+        rank_type(F.col("_rank")).alias("obj"),
+    )
+
+    # area machinery (≙ reference extract.js:785-829, 897-982): institution
+    # components -> region inferred from place-suffixed alias slugs ->
+    # (inst, inArea, state) + (state, partOf, country) triples + area nodes
+    from ocds_entity_extract_spark.plans.areas import (
+        area_edges,
+        area_nodes,
+        infer_institution_regions,
+    )
+
+    inst_aliases = mapping.join(
+        canon_rank.filter(F.col("_rank") == 3).select("canonical_id"),
+        "canonical_id",
+    ).select("canonical_id", F.col("entity_id").alias("alias_slug"))
+    addrs = infer_institution_regions(inst_aliases, spark)
+    area_triples = area_edges(addrs, spark).select("subj", "pred", "obj")
+    areas_tbl = area_nodes(addrs, spark)
 
     sameas = (
         mapping.filter(F.col("entity_id") != F.col("canonical_id"))
@@ -134,25 +168,28 @@ def build_triples(
         .distinct()
     )
 
+    # canonicalized membership edges — shared by the memberOf triples AND
+    # the entity-document richness (per-role counters, parent_id)
     memberships = memberships_from_spans(spans)
-    member_triples = (
+    member_edges = (
         memberships
         .join(mapping.withColumnRenamed("entity_id", "person_id"), "person_id")
-        .withColumnRenamed("canonical_id", "person_canon")
+        .withColumnRenamed("canonical_id", "member_canon")
         .join(mapping.withColumnRenamed("entity_id", "org_id"), "org_id")
         .withColumnRenamed("canonical_id", "org_canon")
-        .select(
-            F.col("person_canon").alias("subj"),
-            F.lit("memberOf").alias("pred"),
-            F.col("org_canon").alias("obj"),
-        )
-        .distinct()
+        .select("url", "member_canon", "role", "org_canon")
     )
+    member_triples = member_edges.select(
+        F.col("member_canon").alias("subj"),
+        F.lit("memberOf").alias("pred"),
+        F.col("org_canon").alias("obj"),
+    ).distinct()
 
     triples = (
         canon_mentions.unionByName(canon_types)
         .unionByName(sameas)
         .unionByName(member_triples)
+        .unionByName(area_triples)
     )
     return PipelineResult(
         triples=triples,
@@ -160,4 +197,6 @@ def build_triples(
         mentions=mentions,
         mapping=mapping,
         sameas_edges=sameas,
+        member_edges=member_edges,
+        area_nodes=areas_tbl,
     )

@@ -621,3 +621,165 @@ def q_earliest_event(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+# =====================================================================
+# §2.2 array predicates (P2/J9) + §2.6 identifiers assembly (A4/X5)
+# + product entity summary (A9-A15, reference extract.js:108-140)
+# =====================================================================
+
+@query(
+    "exists_array_struct",
+    """
+    WITH arrs AS (
+      SELECT o_custkey, list(struct_pack(k := o_orderkey, s := o_orderstatus)) AS orders_arr
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey AS custkey,
+           CAST(len(orders_arr) AS BIGINT) AS n_orders
+    FROM arrs
+    WHERE len(list_filter(orders_arr, x -> x.s = 'F')) > 0
+    """,
+)
+def q_exists_array_struct(spark, sf_dir):
+    """P2 source-type array predicate: `F.exists` over an array<struct>
+    (≙ reference isPurchase scanning record.source for a matching id,
+    extract.js:181-187) — the predicate runs on the assembled array, not a
+    pre-explode filter."""
+    o = _t(spark, sf_dir, "orders")
+    arrs = o.groupBy("o_custkey").agg(
+        F.collect_list(
+            F.struct(F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("s"))
+        ).alias("orders_arr")
+    )
+    return (
+        arrs.filter(F.exists("orders_arr", lambda x: x["s"] == F.lit("F")))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.size("orders_arr").cast("bigint").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "array_contains_membership",
+    """
+    WITH arrs AS (
+      SELECT l_orderkey, list_distinct(list(l_suppkey)) AS supps
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey AS orderkey, CAST(len(supps) AS BIGINT) AS n_suppliers
+    FROM arrs WHERE list_contains(supps, 42)
+    """,
+)
+def q_array_contains_membership(spark, sf_dir):
+    """J9 contract-id membership: `array_contains` over a collected id set
+    (≙ reference contractIDs.includes(contract.id), extract.js:1325)."""
+    li = _t(spark, sf_dir, "lineitem")
+    arrs = li.groupBy("l_orderkey").agg(F.collect_set("l_suppkey").alias("supps"))
+    return arrs.filter(F.array_contains("supps", F.lit(42))).select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.size("supps").cast("bigint").alias("n_suppliers"),
+    )
+
+
+@query(
+    "identifiers_dedup",
+    """
+    WITH ids AS (
+      SELECT c_nationkey, 'segment:' || c_mktsegment AS ident FROM customer
+      UNION ALL
+      SELECT c_nationkey, 'keymod:' || CAST(c_custkey % 10 AS VARCHAR) AS ident
+      FROM customer
+    )
+    SELECT c_nationkey AS nationkey,
+           CAST(count(DISTINCT ident) AS BIGINT) AS n_identifiers,
+           string_agg(DISTINCT ident, ',' ORDER BY ident) AS identifiers
+    FROM ids GROUP BY c_nationkey
+    """,
+)
+def q_identifiers_dedup(spark, sf_dir):
+    """A4/X5 identifiers assembly: (id, scheme) structs from two sources,
+    set-union-deduped per group (≙ identifier + additionalIdentifiers
+    concat with (id, scheme) dedup, reference extract.js:630-643,
+    739-748); rendered sorted per the array convention."""
+    c = _t(spark, sf_dir, "customer")
+    ids = c.select(
+        "c_nationkey",
+        F.struct(
+            F.lit("segment").alias("scheme"), F.col("c_mktsegment").alias("id")
+        ).alias("ident"),
+    ).unionByName(
+        c.select(
+            "c_nationkey",
+            F.struct(
+                F.lit("keymod").alias("scheme"),
+                (F.col("c_custkey") % 10).cast("string").alias("id"),
+            ).alias("ident"),
+        )
+    )
+    return (
+        ids.groupBy("c_nationkey")
+        .agg(F.collect_set("ident").alias("_set"))
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.size("_set").cast("bigint").alias("n_identifiers"),
+            F.array_join(
+                F.array_sort(
+                    F.transform("_set", lambda s: F.concat_ws(":", s.scheme, s.id))
+                ),
+                ",",
+            ).alias("identifiers"),
+        )
+    )
+
+
+@query(
+    "product_summary",
+    f"""
+    SELECT l_partkey AS partkey,
+           round(sum(l_quantity), 2) AS total_qty,
+           round(sum(l_extendedprice) / sum(l_quantity), 2) AS avg_unit_price,
+           CAST(sum(CASE WHEN l_extendedprice / l_quantity > p_retailprice
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_overpriced,
+           strftime(min(l_shipdate), '{{TS_FMT_DUCK}}') AS first_purchase,
+           strftime(max(l_shipdate), '{{TS_FMT_DUCK}}') AS last_purchase
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY l_partkey
+    """.replace("{TS_FMT_DUCK}", TS_FMT_DUCK),
+)
+def q_product_summary(spark, sf_dir):
+    """Product entity summary (≙ reference handleItem/product counters,
+    extract.js:108-140): per-product quantity totals, DECOMPOSED average
+    unit price (sum/sum — associative, unlike a naive running average),
+    overprice gates vs the reference price, first/last purchase dates.
+    The part dim joins BROADCAST (small side)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_partkey")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.round(F.sum("l_extendedprice") / F.sum("l_quantity"), 2).alias(
+                "avg_unit_price"
+            ),
+            F.sum(
+                F.when(
+                    F.col("l_extendedprice") / F.col("l_quantity")
+                    > F.col("p_retailprice"),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_overpriced"),
+            F.date_format(F.min("l_shipdate"), TS_FMT_SPARK).alias("first_purchase"),
+            F.date_format(F.max("l_shipdate"), TS_FMT_SPARK).alias("last_purchase"),
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            "total_qty",
+            "avg_unit_price",
+            "n_overpriced",
+            "first_purchase",
+            "last_purchase",
+        )
+    )

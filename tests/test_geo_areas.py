@@ -84,3 +84,15 @@ def test_area_edges(spark):
     assert ("MX-JAL-guadalajara", "partOf", "MX-JAL") in edges
     assert ("MX-JAL", "partOf", "mx") in edges
     assert ("e-country", "inArea", "us") in edges
+
+
+def test_country_dim_reference_parity(spark):
+    """F7: dim covers the reference's ~80 getCountryName arms
+    (extract.js:1384-1467) — re-derived from public ISO-3166."""
+    from ocds_entity_extract_spark.functions.geo import COUNTRIES, country_dim
+
+    assert len(COUNTRIES) >= 80
+    assert len({c for c, _ in COUNTRIES}) == len(COUNTRIES)  # unique codes
+    dim = {r["code"]: r["name_es"] for r in country_dim(spark).collect()}
+    assert dim["UA"] == "Ucrania" and dim["VN"] == "Vietnam"
+    assert dim["QA"] == "Catar" and dim["SA"] == "Arabia Saudita"

@@ -47,3 +47,20 @@ def test_memberships_detected(spark, pages_df, small_corpus):
         detect_memberships(pages_t).select("person_id", "org_id")
     )
     assert len(got) > 10
+
+
+def test_mentions_via_dim_unhinted_equals_broadcast(spark, pages_df):
+    """Size-adaptive broadcast (SCALE.md): the unhinted (AQE-decided) join
+    must resolve identically to the forced-broadcast probe."""
+    from ocds_entity_extract_spark.functions.html import with_extracted_text
+    from ocds_entity_extract_spark.operators.mentions import (
+        detect_spans,
+        mentions_via_dim,
+        surface_dim,
+    )
+
+    spans = detect_spans(with_extracted_text(pages_df))
+    dim = surface_dim(spans)
+    a = {tuple(r) for r in mentions_via_dim(spans, dim, broadcast=True).collect()}
+    b = {tuple(r) for r in mentions_via_dim(spans, dim, broadcast=False).collect()}
+    assert a and a == b

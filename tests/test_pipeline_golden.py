@@ -49,7 +49,7 @@ def test_overall_pr(pipeline_run):
 
 def test_per_predicate_pr(pipeline_run):
     got, golden, _ = pipeline_run
-    for pred in ("mentions", "type", "sameAs", "memberOf"):
+    for pred in ("mentions", "type", "sameAs", "memberOf", "inArea", "partOf"):
         g = {t for t in got if t[1] == pred}
         gg = {t for t in golden if t[1] == pred}
         precision, recall = _pr(g, gg)
