@@ -33,6 +33,7 @@ HEADLINE = [
     "simhash_docs",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
+    "ann_topk_ivf",
     "token_stats_total",
     "doc_fingerprints",
     "multimodal_decode_stub",
@@ -66,6 +67,35 @@ def main() -> None:
         total += el
         print(f"# {name}: {n} rows in {el:.2f}s", file=sys.stderr)
 
+    # ANN quality: recall@10 vs brute force, averaged over 3 query ids.
+    # Context for reading the number: this corpus's per-query top-10 sits
+    # at cosine ~0.3-0.4 (the random-direction noise floor, no true near
+    # neighbors), so recall is bounded by candidate fraction — LSH probes
+    # ~31% of vectors, IVF ~25%; random guessing would score ~those rates.
+    from ocds_entity_extract_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_ivf,
+        ann_topk_lsh,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    emb.count()
+    lsh_r, ivf_r = [], []
+    for qid in (0, 17, 33):
+        bf = {r["vec_id"] for r in ann_topk_bruteforce(emb, qid, 10).collect()}
+        lsh = {r["vec_id"] for r in ann_topk_lsh(emb, qid, 10, n_planes=4, dim=64).collect()}
+        ivf = {r["vec_id"] for r in ann_topk_ivf(emb, qid, 10).collect()}
+        lsh_r.append(len(bf & lsh) / max(len(bf), 1))
+        ivf_r.append(len(bf & ivf) / max(len(bf), 1))
+    emb.unpersist()
+    ann_recall = sum(lsh_r) / len(lsh_r)
+    ivf_recall = sum(ivf_r) / len(ivf_r)
+    print(
+        f"# ann recall@10 vs brute force (3 queries): lsh={ann_recall:.2f} "
+        f"ivf={ivf_recall:.2f}",
+        file=sys.stderr,
+    )
+
     # KG pipeline throughput (pages -> triples) on the seeded corpus
     from ocds_entity_extract_spark.datagen import generate_corpus
     from ocds_entity_extract_spark.plans.pipeline import build_triples
@@ -78,9 +108,16 @@ def main() -> None:
         .cache()
     )
     pages.count()  # materialize input outside the timed window
-    t0 = time.time()
-    n_triples = build_triples(spark, pages).triples.count()
-    kg_el = time.time() - t0
+    # best-of-2: single-box wall clock swings ±20-30% (page cache, DVFS,
+    # JIT); the minimum is the least-contaminated estimate (same policy as
+    # bench/scaling.py). Both runs are printed to stderr.
+    kg_el, n_triples = None, 0
+    for rep in range(2):
+        t0 = time.time()
+        n_triples = build_triples(spark, pages).triples.count()
+        el = time.time() - t0
+        print(f"# kg_pipeline rep{rep}: {el:.2f}s", file=sys.stderr)
+        kg_el = el if kg_el is None else min(kg_el, el)
     timings["kg_pipeline"] = round(kg_el, 3)
     total += kg_el
     tps = n_triples / kg_el if kg_el > 0 else 0.0
@@ -103,6 +140,8 @@ def main() -> None:
                 "kg_triples": n_triples,
                 "triples_per_sec": round(tps, 1),
                 "pages_per_sec": round(pps, 1),
+                "ann_recall_at_10": round(ann_recall, 3),
+                "ann_ivf_recall_at_10": round(ivf_recall, 3),
                 "cpus": cpus,
             }
         )

@@ -51,13 +51,14 @@ def minhash_candidate_pairs(
     O(tokens), so shipping every doc's set through the signature agg
     re-ships ~the corpus (the round-1 bottleneck — 6.3s of a 38s bench).
 
-    Verification instead touches only CANDIDATES: the (small, LSH-bounded)
-    pair table is broadcast against the narrow shingle recompute, so the
-    full-corpus shingle arrays never leave their input partitions and only
-    candidate rows survive into the verify join. With
-    `broadcast_pairs=False` (pair table too big to broadcast — extreme
-    corpus duplication) the same verification runs as one shuffle of
-    candidate-only arrays via a pair-explode + regroup.
+    Verification instead touches only CANDIDATES: each pair explodes to
+    two (pair, side) rows which join the narrow shingle recompute via a
+    BROADCAST probe — full-corpus shingle arrays never leave their input
+    partitions; only candidate rows reach the (tiny) regroup shuffle. The
+    groupBy also dedups pairs emitted by several LSH bands, so no separate
+    distinct pass is needed. With `broadcast_pairs=False` (pair table too
+    big to broadcast — pathological corpus duplication) the probe becomes
+    an AQE-planned shuffle join, same semantics.
 
     The hash family is md5-derived (functions/phash), so the DuckDB oracle
     reproduces the FULL path — shingles, signatures, banding, bucket cap,
@@ -66,58 +67,50 @@ def minhash_candidate_pairs(
     from ocds_entity_extract_spark.functions.phash import portable_hash64
     from ocds_entity_extract_spark.operators.linking import (
         _lsh_pairs,
-        minhash_signature_table,
+        minhash_signature_from_hashes,
     )
 
-    sh = with_word_shingles(docs.select(id_col, text_col), text_col).select(
-        id_col,
-        F.transform("shingles", lambda s: portable_hash64(s)).alias("hs"),
+    # ONE corpus pass computes the hashed-shingle arrays; the materialized
+    # table (localCheckpoint — blocks GC-released when the query ends, no
+    # harness-lifetime cache leak; an intermediate table at cluster scale)
+    # feeds BOTH the signature build and candidate verification, so
+    # shingling+md5 never run twice and the signature explode reads cheap
+    # materialized arrays (see minhash_signature_from_hashes).
+    sh = (
+        with_word_shingles(docs.select(id_col, text_col), text_col)
+        .select(
+            id_col,
+            F.transform("shingles", lambda s: portable_hash64(s)).alias("hs"),
+        )
+        .localCheckpoint(eager=False)
     )
-    sig = minhash_signature_table(
-        with_word_shingles(docs.select(id_col, text_col), text_col),
-        id_col,
-        num_hashes,
-        band_size,
-        keep_shingle_sets=False,
-    )
+    sig = minhash_signature_from_hashes(sh, id_col, "hs", num_hashes, band_size)
     pairs = (
         _lsh_pairs(sig, id_col, max_bucket)
         .withColumnRenamed("src", "id_a")
         .withColumnRenamed("dst", "id_b")
-        .distinct()
+    )
+    pe = pairs.select(
+        "id_a",
+        "id_b",
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias(id_col), F.lit("a").alias("side")),
+                F.struct(F.col("id_b").alias(id_col), F.lit("b").alias("side")),
+            )
+        ).alias("m"),
+    ).select("id_a", "id_b", F.col(f"m.{id_col}").alias(id_col), "m.side")
+    joined = (
+        sh.join(F.broadcast(pe) if broadcast_pairs else pe, id_col)
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first(F.when(F.col("side") == "a", F.col("hs")), True).alias("sh_a"),
+            F.first(F.when(F.col("side") == "b", F.col("hs")), True).alias("sh_b"),
+        )
     )
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
-    if broadcast_pairs:
-        # pairs broadcast twice -> the big shingle table never shuffles
-        half = sh.withColumnRenamed(id_col, "id_a").withColumnRenamed(
-            "hs", "sh_a"
-        ).join(F.broadcast(pairs), "id_a")
-        joined = sh.withColumnRenamed(id_col, "id_b").withColumnRenamed(
-            "hs", "sh_b"
-        ).join(F.broadcast(half), "id_b")
-    else:
-        # scale fallback: explode each pair to two (pair, side) rows, join
-        # the shingle table ONCE, regroup — ships candidate arrays only
-        pe = pairs.select(
-            "id_a",
-            "id_b",
-            F.explode(
-                F.array(
-                    F.struct(F.col("id_a").alias(id_col), F.lit("a").alias("side")),
-                    F.struct(F.col("id_b").alias(id_col), F.lit("b").alias("side")),
-                )
-            ).alias("m"),
-        ).select("id_a", "id_b", F.col(f"m.{id_col}").alias(id_col), "m.side")
-        joined = (
-            pe.join(sh, id_col)
-            .groupBy("id_a", "id_b")
-            .agg(
-                F.first(F.when(F.col("side") == "a", F.col("hs")), True).alias("sh_a"),
-                F.first(F.when(F.col("side") == "b", F.col("hs")), True).alias("sh_b"),
-            )
-        )
     return (
         joined.withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= jaccard_threshold)

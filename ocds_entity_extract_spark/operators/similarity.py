@@ -101,3 +101,70 @@ def ann_topk_bruteforce(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ann_topk_ivf(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style ANN: coarse quantization into centroid buckets, probe the
+    `n_probe` centroids nearest the query, exact top-k inside them.
+
+    Centroids are a deterministic sample (vec_id 1..n_centroids — a real
+    deployment k-means-trains them; sampling keeps the operator fully
+    reproducible and oracle-checkable). Assignment is a broadcast of the
+    tiny centroid table against the (narrow) embedding scan — the classic
+    IVF plan: at 100 TB the assignment is a partition-local map and only
+    the probed buckets are read (partition by centroid id). Recovers the
+    recall random-hyperplane LSH loses on mid-similarity neighbors.
+    Ties in assignment/probing resolve by rounded similarity then id —
+    deterministic and engine-agnostic.
+    """
+    from pyspark.sql.window import Window
+
+    cents = embeddings.filter(
+        (F.col(id_col) >= 1) & (F.col(id_col) <= n_centroids)
+    ).select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    sim = F.round(cosine(F.col(vec_col), F.col("cv")), 3)
+    asg = (
+        embeddings.crossJoin(F.broadcast(cents))
+        .withColumn("_sim", sim)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cid"))
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, "cid")
+    )
+    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("qv")
+    )
+    probes = (
+        cents.crossJoin(F.broadcast(q))
+        .withColumn("_sim", F.round(cosine(F.col("cv"), F.col("qv")), 3))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(F.lit(1)).orderBy(F.desc("_sim"), F.asc("cid"))
+            ),
+        )
+        .filter(F.col("_rn") <= n_probe)
+        .select("cid")
+    )
+    return (
+        asg.join(F.broadcast(probes), "cid")
+        .filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            id_col, F.round(cosine(F.col(vec_col), F.col("qv")), 3).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -73,6 +73,8 @@ def build_triples(
     salted_merge: bool = False,
     cache_intermediates: bool = True,
     max_broadcast_surfaces: int = 2_000_000,
+    surface_broadcast: str = "auto",   # auto | force | aqe
+    emit_areas: bool = True,
 ) -> PipelineResult:
     """Run the full plan; all returned DataFrames are lazy except cached
     intermediates."""
@@ -95,7 +97,11 @@ def build_triples(
     # AQE's runtime-size decision so a 10^9-surface crawl can never OOM on
     # a forced broadcast.
     dim = with_entity_type(surface_dim(spans), classifier_override)
-    if cache_intermediates:
+    if surface_broadcast == "force":
+        use_broadcast = True
+    elif surface_broadcast == "aqe":
+        use_broadcast = False
+    elif cache_intermediates:
         dim = dim.cache()
         use_broadcast = dim.count() <= max_broadcast_surfaces
     else:
@@ -135,6 +141,10 @@ def build_triples(
         .groupBy("canonical_id")
         .agg(F.max("_rank").alias("_rank"))
     )
+    if cache_intermediates:
+        # two consumers (type triples + institution filter for areas);
+        # localCheckpoint materializes once, blocks GC-released with the job
+        canon_rank = canon_rank.localCheckpoint(eager=False)
     canon_types = canon_rank.select(
         F.col("canonical_id").alias("subj"),
         F.lit("type").alias("pred"),
@@ -150,13 +160,21 @@ def build_triples(
         infer_institution_regions,
     )
 
-    inst_aliases = mapping.join(
-        canon_rank.filter(F.col("_rank") == 3).select("canonical_id"),
-        "canonical_id",
-    ).select("canonical_id", F.col("entity_id").alias("alias_slug"))
-    addrs = infer_institution_regions(inst_aliases, spark)
-    area_triples = area_edges(addrs, spark).select("subj", "pred", "obj")
-    areas_tbl = area_nodes(addrs, spark)
+    if emit_areas:
+        inst_aliases = mapping.join(
+            canon_rank.filter(F.col("_rank") == 3).select("canonical_id"),
+            "canonical_id",
+        ).select("canonical_id", F.col("entity_id").alias("alias_slug"))
+        addrs = infer_institution_regions(inst_aliases, spark)
+        area_triples = area_edges(addrs, spark).select("subj", "pred", "obj")
+        areas_tbl = area_nodes(addrs, spark)
+    else:
+        area_triples = spark.createDataFrame(
+            [], "subj string, pred string, obj string"
+        )
+        areas_tbl = spark.createDataFrame(
+            [], "area_id string, name string, classification string, parent_id string"
+        )
 
     sameas = (
         mapping.filter(F.col("entity_id") != F.col("canonical_id"))

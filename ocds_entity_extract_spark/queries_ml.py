@@ -390,6 +390,56 @@ def q_ann_topk_lsh(spark, sf_dir):
     return ann_topk_lsh(e, query_vec_id=0, k=10, n_planes=4, dim=EMBEDDING_DIM)
 
 
+def _ann_ivf_oracle_sql(n_centroids: int = 16, n_probe: int = 4) -> str:
+    """DuckDB twin of ann_topk_ivf: centroids are embedding rows (vec_id
+    1..K), so no literals are needed — both engines derive assignment and
+    probe sets from the same data with identical (rounded sim, cid)
+    tie-breaking."""
+    return f"""
+    WITH c AS (
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        WHERE vec_id BETWEEN 1 AND {n_centroids}
+      ),
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      asg AS (
+        SELECT vec_id, embedding, cid FROM (
+          SELECT e.vec_id, e.embedding, c.cid,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round(list_cosine_similarity(e.embedding, c.cv), 3) DESC,
+                            c.cid
+                 ) AS rn
+          FROM embeddings e CROSS JOIN c
+        ) WHERE rn = 1
+      ),
+      probes AS (
+        SELECT cid FROM (
+          SELECT c.cid,
+                 row_number() OVER (
+                   ORDER BY round(list_cosine_similarity(c.cv, q.qv), 3) DESC, c.cid
+                 ) AS rn
+          FROM c CROSS JOIN q
+        ) WHERE rn <= {n_probe}
+      )
+    SELECT a.vec_id, round(list_cosine_similarity(a.embedding, q.qv), 3) AS score
+    FROM asg a JOIN probes USING (cid) CROSS JOIN q
+    WHERE a.vec_id != 0
+    ORDER BY score DESC, a.vec_id
+    LIMIT 10
+    """
+
+
+@query("ann_topk_ivf", _ann_ivf_oracle_sql())
+def q_ann_topk_ivf(spark, sf_dir):
+    """IVF-bucketed ANN (coarse quantization + multi-centroid probe) — the
+    industry-standard scale path; recovers recall where random-hyperplane
+    LSH is weak (mid-similarity neighbors)."""
+    from ocds_entity_extract_spark.operators.similarity import ann_topk_ivf
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ann_topk_ivf(e, query_vec_id=0, k=10, n_centroids=16, n_probe=4)
+
+
 # =====================================================================
 # text analysis
 # =====================================================================

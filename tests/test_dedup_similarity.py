@@ -108,3 +108,55 @@ def test_lsh_topk_subset_of_bucket(spark):
     # close vectors share the query's hyperplane signs; opposite vector must not
     assert 4 not in got
     assert len(got) >= 1
+
+
+def test_simhash_vectorized_parity(spark):
+    """The numpy-vectorized simhash64 UDF must reproduce the row-at-a-time
+    reference implementation bit-for-bit (incl. None, empty, unicode)."""
+    from ocds_entity_extract_spark.operators.dedup import _simhash64_py, simhash64
+
+    texts = [
+        "hello world hello", "a b c d e", "", "único camión über straße",
+        "x", None, "the the the and and", "  leading and trailing  ",
+        "tabs\tand\nnewlines mixed tokens",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = {r["t"]: r["s"] for r in df.select("t", simhash64("t").alias("s")).collect()}
+    for t in texts:
+        assert got[t] == _simhash64_py(t), repr(t)
+
+
+def test_portable_hash_matches_python_md5(spark):
+    """functions/phash.portable_hash64 == int(md5_hex[:15], 16) — the
+    contract every DuckDB oracle relies on."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from ocds_entity_extract_spark.functions.phash import portable_hash64
+
+    vals = ["hello", "ab cd ef", "Grupo Aurora S.A.", "ñandú", ""]
+    rows = (
+        spark.createDataFrame([(v,) for v in vals], "s string")
+        .select("s", portable_hash64(F.col("s")).alias("h"))
+        .collect()
+    )
+    for r in rows:
+        assert r["h"] == int(hashlib.md5(r["s"].encode()).hexdigest()[:15], 16)
+
+
+def test_ann_ivf_contains_bucket_topk(spark):
+    """IVF result is the exact top-k within the probed buckets and scores
+    are sane (<= brute-force best)."""
+    from ocds_entity_extract_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_ivf,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bf = ann_topk_bruteforce(e, 0, 10).collect()
+    ivf = ann_topk_ivf(e, 0, 10).collect()
+    assert len(ivf) == 10
+    assert ivf[0]["score"] <= bf[0]["score"]
+    ivf_ids = {r["vec_id"] for r in ivf}
+    assert 0 not in ivf_ids
