@@ -175,11 +175,11 @@ def q_dedup_minhash_docs(spark, sf_dir):
     return minhash_candidate_pairs(d)
 
 
-def _simhash_oracle_sql() -> str:
-    """DuckDB twin of operators/dedup.simhash64: per-token md5 -> first 16
-    hex chars as an unsigned 64-bit hash -> per-bit sign votes -> signed
-    64-bit signature (bit 63 contributes -2^63, matching the two's-
-    complement wrap in the UDF)."""
+def _simhash_cte() -> str:
+    """Shared DuckDB CTE body producing sh(doc_id, simhash) — the twin of
+    operators/dedup.simhash64: per-token md5 -> first 16 hex chars as an
+    unsigned 64-bit hash -> per-bit sign votes -> signed 64-bit signature
+    (bit 63 contributes -2^63, matching the two's-complement wrap)."""
     votes = ",\n             ".join(
         f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
         for i in range(64)
@@ -188,8 +188,7 @@ def _simhash_oracle_sql() -> str:
     others = "\n           + ".join(
         f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(63)
     )
-    return rf"""
-    WITH tok AS (
+    return rf"""tok AS (
         SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
                                           x -> x <> '')) AS t
         FROM documents
@@ -201,11 +200,19 @@ def _simhash_oracle_sql() -> str:
         SELECT doc_id,
              {votes}
         FROM h GROUP BY doc_id
-      )
-    SELECT d.doc_id,
-           CAST({bit63}
-           + {others} AS BIGINT) AS simhash
-    FROM documents d LEFT JOIN v USING (doc_id)
+      ),
+      sh AS (
+        SELECT d.doc_id,
+               CAST({bit63}
+               + {others} AS BIGINT) AS simhash
+        FROM documents d LEFT JOIN v USING (doc_id)
+      )"""
+
+
+def _simhash_oracle_sql() -> str:
+    return f"""
+    WITH {_simhash_cte()}
+    SELECT doc_id, simhash FROM sh
     """
 
 
@@ -217,6 +224,41 @@ def q_simhash_docs(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return with_simhash(d).select("doc_id", "simhash")
+
+
+def _simhash_pairs_oracle_sql(max_hamming: int = 6) -> str:
+    """DuckDB twin of operators/dedup.simhash_near_pairs: 4 x 16-bit chunk
+    blocking (pigeonhole) + hamming verification via bit_count(xor) —
+    identical arithmetic-shift/mask/bit_count semantics on signed longs."""
+    return f"""
+    WITH {_simhash_cte()},
+      chunks AS (
+        SELECT doc_id, simhash, CAST(t.i AS INT) AS chunk_id,
+               (simhash >> (CAST(t.i AS INT) * 16)) & 65535 AS chunk
+        FROM sh CROSS JOIN unnest([0, 1, 2, 3]) AS t(i)
+      ),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.simhash AS sa, b.simhash AS sb
+        FROM chunks a JOIN chunks b
+          ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+      )
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+    FROM pairs WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    """
+
+
+@query("simhash_near_pairs", _simhash_pairs_oracle_sql())
+def q_simhash_near_pairs(spark, sf_dir):
+    """SimHash near-dup join: 4x16-bit chunk blocking (any pair within
+    hamming <= 6 shares an exact chunk), hamming verified via
+    bit_count(xor) — full value-hash oracle."""
+    from ocds_entity_extract_spark.operators.dedup import simhash_near_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_near_pairs(d).select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    )
 
 
 def _linking_signatures_oracle_sql(num_hashes: int = 16) -> str:
@@ -723,17 +765,30 @@ def q_kg_triples(spark, sf_dir):
 
 @query("kg_entities")  # rows-only
 def q_kg_entities(spark, sf_dir):
-    """Merged entity table from the same corpus (arrays stringified)."""
+    """Canonical entity DOCUMENTS from the same corpus — the full output
+    doc assembly (subclassification, identifiers, parent_id, per-role
+    counters), arrays stringified per the repo convention."""
+    from ocds_entity_extract_spark.plans.documents import entity_documents
     from ocds_entity_extract_spark.plans.pipeline import build_triples
 
     pages, _ = _kg_pages(spark)
     res = build_triples(spark, pages)
-    return res.entities.select(
-        "entity_id",
+    docs = entity_documents(res.entities, res.mapping, res.member_edges)
+    return docs.select(
+        "id",
         "name",
         "entity_type",
-        "mention_count",
-        "page_count",
+        F.array_join("classification", ",").alias("classification"),
+        F.array_join("subclassification", ",").alias("subclassification"),
+        "parent_id",
+        F.array_join(
+            F.transform("identifiers", lambda s: F.concat_ws(":", s.scheme, s.id)),
+            ",",
+        ).alias("identifiers"),
         F.array_join("other_names", ",").alias("other_names"),
+        F.col("counters.mentions").alias("mentions"),
+        F.col("counters.pages").alias("pages"),
+        F.col("counters.membership_count.director_general").alias("n_director_general"),
+        F.col("counters.members").alias("members"),
         F.array_join("sources", ",").alias("sources"),
     )
