@@ -192,44 +192,28 @@ def with_minhash_bands(
     return df.join(sig.select(id_col, "bands"), id_col, "left")
 
 
-def _cap_buckets(buckets: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
-    """Drop pathologically hot LSH buckets before the self-join (skew guard)."""
-    sizes = buckets.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bsz"))
-    return (
-        buckets.join(sizes.filter(F.col("_bsz") <= max_bucket), keys, "inner")
-        .drop("_bsz")
-    )
+def _bucket_pairs(
+    buckets: DataFrame, keys: list[str], id_col: str, max_bucket: int
+) -> DataFrame:
+    """Bucketed rows -> (src, dst) pairs (src < dst) in ONE bounded shuffle.
 
-
-def _lsh_pairs(sig: DataFrame, id_col: str, max_bucket: int) -> DataFrame:
-    """Signature table -> LSH candidate (src, dst) pairs, src < dst.
-
-    Pair generation is ONE bounded shuffle: bucket members are collected
-    per (band_id, band_hash) and pairs exploded from the sorted member
-    array (m members -> m(m-1)/2 structs) — replacing the round-1
-    cap-join + self-join + distinct chain (3 shuffles) whose fixed stage
-    latency dominated at bench scale.
-
-    Skew guard ordering matters at 10^12 docs: HOT buckets (degenerate
-    band values) are removed BEFORE the collect via a broadcast anti-join
-    against the (tiny, by construction) over-cap key list, so no reducer
-    ever materializes an unbounded member array. May emit the same pair
-    from several bands — callers distinct() or groupBy downstream.
+    Hot buckets (over `max_bucket` members) are removed BEFORE the
+    collect via a broadcast anti-join on the (tiny, by construction)
+    over-cap key list — no reducer ever materializes an unbounded member
+    array; then each bucket's sorted member array explodes into its
+    m(m-1)/2 pairs. Replaces the cap-join + self-join chain (3 shuffles)
+    whose fixed stage latency dominated at bench scale. May emit a pair
+    from several buckets — callers dedup downstream.
     """
-    buckets = sig.select(id_col, F.explode("bands").alias("b")).select(
-        id_col,
-        F.col("b.band_id").alias("band_id"),
-        F.col("b.band_hash").alias("band_hash"),
-    )
     hot = (
-        buckets.groupBy("band_id", "band_hash")
+        buckets.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("_bsz"))
         .filter(F.col("_bsz") > max_bucket)
-        .select("band_id", "band_hash")
+        .select(*keys)
     )
-    ok = buckets.join(F.broadcast(hot), ["band_id", "band_hash"], "left_anti")
+    ok = buckets.join(F.broadcast(hot), keys, "left_anti")
     grouped = (
-        ok.groupBy("band_id", "band_hash")
+        ok.groupBy(*keys)
         .agg(F.array_sort(F.collect_list(id_col)).alias("_ids"))
         .filter(F.size("_ids") >= 2)
     )
@@ -244,20 +228,26 @@ def _lsh_pairs(sig: DataFrame, id_col: str, max_bucket: int) -> DataFrame:
     ).select("p.src", "p.dst")
 
 
+def _lsh_pairs(sig: DataFrame, id_col: str, max_bucket: int) -> DataFrame:
+    """Signature table -> LSH candidate (src, dst) pairs, src < dst
+    (see `_bucket_pairs` for the single-shuffle pair generation)."""
+    buckets = sig.select(id_col, F.explode("bands").alias("b")).select(
+        id_col,
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.band_hash").alias("band_hash"),
+    )
+    return _bucket_pairs(buckets, ["band_id", "band_hash"], id_col, max_bucket)
+
+
 def _prefix_pairs(
     base: DataFrame, id_col: str, max_bucket: int, prefix_len: int
 ) -> DataFrame:
-    """Secondary blocker: exact slug-prefix buckets (capped) -> pairs."""
+    """Secondary blocker: exact slug-prefix buckets (capped) -> pairs,
+    single-shuffle via `_bucket_pairs`."""
     pref = base.select(
         F.col(id_col), F.substring(id_col, 1, prefix_len).alias("pfx")
     ).filter(F.length(id_col) >= prefix_len)
-    pref = _cap_buckets(pref, ["pfx"], max_bucket)
-    return (
-        pref.alias("a")
-        .join(pref.alias("b"), "pfx")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("src"), F.col(f"b.{id_col}").alias("dst"))
-    )
+    return _bucket_pairs(pref, ["pfx"], id_col, max_bucket)
 
 
 def candidate_pairs(

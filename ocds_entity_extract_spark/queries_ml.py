@@ -569,6 +569,38 @@ def q_token_stats_total(spark, sf_dir):
     )
 
 
+# BPE-ish pre-tokenizer: GPT-2-style word/number/punct split WITHOUT
+# lookahead (Java regex and DuckDB's RE2 both lack/limit it) — one token
+# per optionally-space-prefixed letter run, digit run, or punct run.
+BPE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+@query(
+    "token_stats_bpe",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(regexp_extract_all(text, '{BPE_RE}'))) AS BIGINT)
+             AS total_bpe_tokens,
+           CAST(max(len(regexp_extract_all(text, '{BPE_RE}'))) AS BIGINT)
+             AS max_doc_tokens
+    FROM documents
+    """,
+)
+def q_token_stats_bpe(spark, sf_dir):
+    """BPE-ish token counting: a GPT-2-style pre-tokenizer regex (letter /
+    digit / punctuation runs with optional leading space) counted per doc
+    — the subword-budget estimator a training-data pipeline runs before
+    the real tokenizer. Same pattern compiles identically under Java
+    regex and RE2, so the oracle is exact."""
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).cast("bigint").alias("total_bpe_tokens"),
+        F.max(n_tok).cast("bigint").alias("max_doc_tokens"),
+    )
+
+
 @query(
     "doc_fingerprints",
     """
