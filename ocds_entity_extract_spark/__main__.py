@@ -82,7 +82,13 @@ def main(argv: list[str] | None = None) -> int:
         else None
     )
     res = build_triples(spark, pages, override)
-    ent_docs = entity_documents(res.entities, res.mapping, res.member_edges)
+    ent_docs = entity_documents(
+        res.entities,
+        res.mapping,
+        res.member_edges,
+        contact_edges=res.contact_edges,
+        inst_regions=res.inst_regions,
+    )
     mem_docs = membership_documents(
         res.member_edges.select(
             "url",

@@ -239,6 +239,7 @@ def generate_corpus(n_pages: int, seed: int = 42,
     seen_surfaces: dict[int, set[str]] = {}       # id(entity) -> surfaces used
     page_mentions: list[tuple[str, Entity]] = []  # (url, entity)
     member_facts: list[tuple[Entity, str, Entity]] = []
+    contact_facts: list[tuple[Entity, str]] = []  # (entity, email on its page)
 
     def use(e: Entity, surf: str) -> str:
         seen_surfaces.setdefault(id(e), set()).add(surf)
@@ -268,6 +269,13 @@ def generate_corpus(n_pages: int, seed: int = 42,
             paras.append(f"<p>hoy {surf} {verb} según fuentes oficiales.</p>")
             page_mentions.append((url, e))
 
+        page_contact = None
+        if rng.random() < 0.20:                   # contact footer paragraph
+            # webtext contactPoint analogue (reference extract.js:889-891):
+            # a lowercase contact line — invisible to the mention regex
+            page_contact = f"redaccion@{domain}"
+            paras.append(f"<p>contacto: {page_contact} para prensa.</p>")
+
         if rng.random() < 0.35:                   # membership sentence
             # mostly person members; ~15% org-org memberships so entity
             # docs exercise parent_id / 'unidad-compradora' (reference
@@ -287,6 +295,13 @@ def generate_corpus(n_pages: int, seed: int = 42,
             page_mentions.append((url, p))
             page_mentions.append((url, o))
             member_facts.append((p, role, o))
+            if page_contact is not None:
+                contact_facts.append((p, page_contact))
+                contact_facts.append((o, page_contact))
+
+        if page_contact is not None:
+            for e, _surf in picks:
+                contact_facts.append((e, page_contact))
 
         html = _HTML_TMPL.format(title=f"nota {pid}", pid=pid,
                                  paras="\n".join(paras)).encode("utf-8")
@@ -345,8 +360,12 @@ def generate_corpus(n_pages: int, seed: int = 42,
             golden.add((canon[id(e)], "inArea", iso))
             golden.add((iso, "partOf", "mx"))
 
+    contacts_golden = sorted(
+        {(canon[id(e)], "email", v) for e, v in contact_facts if id(e) in canon}
+    )
     aux = {"entities": ents, "classifier_override": override_rows,
-           "memberships": membership_facts, "canonical": canon}
+           "memberships": membership_facts, "canonical": canon,
+           "contacts": contacts_golden}
     return pages, golden, aux
 
 

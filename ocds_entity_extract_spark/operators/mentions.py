@@ -43,12 +43,21 @@ ROLE_RE = "(?:director general|directora general|titular|presidente|presidenta|g
 # groups: 1 = person span, 2 = role, 3 = org span (inner groups non-capturing)
 MEMBERSHIP_RE = f"({MENTION_RE}),\\s+({ROLE_RE})\\s+de\\s+({MENTION_RE})"
 
+# contact spans (≙ party.contactPoint -> contact_details assembly, reference
+# extract.js:889-891): a web page's contact signals are emails and phone
+# numbers rather than a structured contactPoint object. Java- and
+# Python-compatible (char classes only).
+CONTACT_RE = (
+    "(?:[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(?:\\.[A-Za-z0-9-]+)+"
+    "|tel[.:]?\\s+[0-9]{2,3}[- ][0-9]{4}[- ][0-9]{4})"
+)
+
 
 def detect_spans(pages: DataFrame, text_col: str = "text") -> DataFrame:
-    """Fused single-pass extraction: ONE scan of `text` computes BOTH the
-    mention-span array and the membership-span array.
+    """Fused single-pass extraction: ONE scan of `text` computes the
+    mention-span, membership-span AND contact-span arrays.
 
-    The full pipeline consumes both; without fusion the two branches would
+    The full pipeline consumes all three; without fusion the branches would
     each re-scan pages and re-run the (expensive) upstream text-extraction
     pandas UDF. The result is small (spans only, text dropped) — cacheable
     by the caller.
@@ -62,6 +71,9 @@ def detect_spans(pages: DataFrame, text_col: str = "text") -> DataFrame:
         ),
         F.regexp_extract_all(F.col(text_col), F.lit(MEMBERSHIP_RE), 0).alias(
             "member_spans"
+        ),
+        F.regexp_extract_all(F.col(text_col), F.lit(CONTACT_RE), 0).alias(
+            "contact_spans"
         ),
     )
 
@@ -120,6 +132,26 @@ def mentions_via_dim(
         "url", "warc_ts", "domain", F.explode("mention_spans").alias("surface")
     )
     return exploded.join(F.broadcast(dim) if broadcast else dim, "surface")
+
+
+def contacts_from_spans(spans: DataFrame) -> DataFrame:
+    """detect_spans output -> (url, contact_type, contact_value) rows.
+
+    Webtext analogue of party.contactPoint consumption (reference
+    extract.js:889-891): each page-level contact span becomes a typed
+    (email | tel) value; a page without contacts contributes nothing, so
+    this table is TINY relative to pages — downstream joins broadcast it.
+    """
+    c = spans.filter(F.size("contact_spans") > 0).select(
+        "url", F.explode("contact_spans").alias("contact_value")
+    )
+    return c.select(
+        "url",
+        F.when(F.col("contact_value").contains("@"), F.lit("email"))
+        .otherwise(F.lit("tel"))
+        .alias("contact_type"),
+        "contact_value",
+    ).distinct()
 
 
 def memberships_from_spans(spans: DataFrame) -> DataFrame:

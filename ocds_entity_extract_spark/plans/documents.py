@@ -36,6 +36,8 @@ def entity_documents(
     entities: DataFrame,
     mapping: DataFrame,
     member_edges: DataFrame | None = None,
+    contact_edges: DataFrame | None = None,
+    inst_regions: DataFrame | None = None,
 ) -> DataFrame:
     """Merged entities -> canonical output documents.
 
@@ -55,9 +57,22 @@ def entity_documents(
       (`membership_count.{director_general,titular,presidente,gerente}`)
       and `member_count` (members hosted as the parent org)
 
+    - contact_details: array<struct(type,value)> set-union of the page-level
+      contacts (email | tel) attributed to the entity ≙ the contactPoint
+      consumption (extract.js:889-891); empty array when none seen
+    - gov_level (institutions only, ≙ extract.js:893-895 + the stamp at
+      522-524): the web analogue derives it from the name instead of a
+      party field — 'municipio'/'ayuntamiento'-led => city,
+      place-suffixed (state dim probe) or 'gobierno'-led => region,
+      any other institution keyword => country (federal default);
+      NULL for companies/persons (the reference only stamps institutions)
+
     `member_edges` is PipelineResult.member_edges
-    (url, member_canon, role, org_canon); pass None for a mention-only
-    corpus — membership-derived fields come out zero/null.
+    (url, member_canon, role, org_canon); `contact_edges` is
+    PipelineResult.contact_edges (canonical_id, contact_type,
+    contact_value); `inst_regions` is PipelineResult.inst_regions.
+    Pass None for a mention-only corpus — the derived fields come out
+    zero/null/empty.
     """
     canon = (
         entities.join(mapping, "entity_id")
@@ -118,6 +133,35 @@ def entity_documents(
             "_parent_id", F.lit(None).cast("string")
         ).withColumn("member_count", F.lit(None).cast("long"))
 
+    if contact_edges is not None:
+        per_entity_contacts = contact_edges.groupBy("canonical_id").agg(
+            F.array_sort(
+                F.collect_set(
+                    F.struct(
+                        F.col("contact_type").alias("type"),
+                        F.col("contact_value").alias("value"),
+                    )
+                )
+            ).alias("_contacts")
+        )
+        canon = canon.join(per_entity_contacts, "canonical_id", "left")
+    else:
+        canon = canon.withColumn(
+            "_contacts", F.lit(None).cast("array<struct<type:string,value:string>>")
+        )
+
+    if inst_regions is not None:
+        canon = canon.join(
+            inst_regions.select(
+                F.col("entity_id").alias("canonical_id"),
+                F.col("gov_level").alias("_region_gov"),
+            ),
+            "canonical_id",
+            "left",
+        )
+    else:
+        canon = canon.withColumn("_region_gov", F.lit(None).cast("string"))
+
     etype = (
         F.when(F.col("_rank") == 3, "institution")
         .when(F.col("_rank") == 2, "company")
@@ -130,6 +174,14 @@ def entity_documents(
         # parent_id only counts for the unidad-compradora rule when the
         # entity is an org (persons use role counters instead)
         F.col("_parent_id").isNotNull(),
+    )
+    first_tok = F.element_at(F.split(F.col("canonical_id"), "-"), 1)
+    gov_level = F.when(
+        etype == "institution",
+        F.when(first_tok.isin("municipio", "ayuntamiento"), F.lit("city"))
+        .when(F.col("_region_gov").isNotNull(), F.col("_region_gov"))
+        .when(first_tok == "gobierno", F.lit("region"))
+        .otherwise(F.lit("country")),
     )
     identifiers = F.array_sort(
         F.array_distinct(
@@ -154,7 +206,12 @@ def entity_documents(
             "subclassification"
         ),
         F.when(etype != "person", F.col("_parent_id")).alias("parent_id"),
+        gov_level.alias("gov_level"),
         identifiers.alias("identifiers"),
+        F.coalesce(
+            F.col("_contacts"),
+            F.array().cast("array<struct<type:string,value:string>>"),
+        ).alias("contact_details"),
         F.array_remove(F.col("_all_names"), F.col("name")).alias("other_names"),
         F.struct(
             F.col("mention_count").alias("mentions"),

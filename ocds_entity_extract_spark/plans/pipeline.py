@@ -43,6 +43,7 @@ from ocds_entity_extract_spark.functions.html import with_extracted_text
 from ocds_entity_extract_spark.operators.cc import canonical_mapping
 from ocds_entity_extract_spark.operators.linking import verified_edges
 from ocds_entity_extract_spark.operators.mentions import (
+    contacts_from_spans,
     detect_spans,
     memberships_from_spans,
     mentions_via_dim,
@@ -64,6 +65,8 @@ class PipelineResult:
     sameas_edges: DataFrame
     member_edges: DataFrame     # (url, member_canon, role, org_canon)
     area_nodes: DataFrame       # deduped area node table
+    inst_regions: DataFrame     # (entity_id=canonical, region, gov_level, ...)
+    contact_edges: DataFrame    # (canonical_id, contact_type, contact_value)
 
 
 def build_triples(
@@ -170,6 +173,10 @@ def build_triples(
         infer_institution_regions,
     )
 
+    _addr_schema = (
+        "entity_id string, country_name string, region string,"
+        " locality string, gov_level string"
+    )
     if emit_areas:
         inst_aliases = mapping.join(
             canon_rank.filter(F.col("_rank") == 3).select("canonical_id"),
@@ -179,6 +186,7 @@ def build_triples(
         area_triples = area_edges(addrs, spark).select("subj", "pred", "obj")
         areas_tbl = area_nodes(addrs, spark)
     else:
+        addrs = spark.createDataFrame([], _addr_schema)
         area_triples = spark.createDataFrame(
             [], "subj string, pred string, obj string"
         )
@@ -213,6 +221,22 @@ def build_triples(
         F.col("org_canon").alias("obj"),
     ).distinct()
 
+    # contact_details edges (≙ party.contactPoint -> contact_details,
+    # reference extract.js:889-891): page-level contacts attributed to the
+    # entities mentioned on that page. No broadcast hint: contacts is
+    # usually tiny (contact-bearing pages only) and AQE will pick a
+    # broadcast join from runtime sizes, but a footer-contact-heavy crawl
+    # can make it O(pages) — a forced hint would be the same scale-killer
+    # the surface-dim join had in round 1.
+    contacts = contacts_from_spans(spans)
+    contact_edges = (
+        mentions.select("url", "entity_id")
+        .join(contacts, "url")
+        .join(mapping, "entity_id")
+        .select("canonical_id", "contact_type", "contact_value")
+        .distinct()
+    )
+
     triples = (
         canon_mentions.unionByName(canon_types)
         .unionByName(sameas)
@@ -227,4 +251,6 @@ def build_triples(
         sameas_edges=sameas,
         member_edges=member_edges,
         area_nodes=areas_tbl,
+        inst_regions=addrs,
+        contact_edges=contact_edges,
     )

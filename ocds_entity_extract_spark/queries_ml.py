@@ -618,6 +618,53 @@ def q_doc_fingerprints(spark, sf_dir):
     )
 
 
+_CONTACT_RE_SQL = (
+    "(?:[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(?:\\.[A-Za-z0-9-]+)+"
+    "|tel[.:]?\\s+[0-9]{2,3}[- ][0-9]{4}[- ][0-9]{4})"
+)
+
+
+@query(
+    "contact_spans",
+    f"""
+    SELECT doc_id,
+           array_to_string(
+             list_sort(regexp_extract_all(
+               text || ' contacto: doc' || CAST(doc_id AS VARCHAR)
+                    || '@ejemplo.mx fin',
+               '{_CONTACT_RE_SQL}')),
+             ',') AS contacts,
+           CAST(len(regexp_extract_all(
+               text || ' contacto: doc' || CAST(doc_id AS VARCHAR)
+                    || '@ejemplo.mx fin',
+               '{_CONTACT_RE_SQL}')) AS BIGINT) AS n_contacts
+    FROM documents
+    """,
+)
+def q_contact_spans(spark, sf_dir):
+    """Contact-span extraction (≙ contactPoint -> contact_details assembly,
+    reference extract.js:889-891): the pipeline's email/tel regex
+    (operators/mentions.CONTACT_RE) applied via JVM `regexp_extract_all`.
+    The shared corpus text carries no emails, so a deterministic
+    doc-derived address is appended on BOTH sides — same input string,
+    same regex, both engines extract."""
+    from ocds_entity_extract_spark.operators.mentions import CONTACT_RE
+
+    d = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contacto: doc"),
+        F.col("doc_id").cast("string"),
+        F.lit("@ejemplo.mx fin"),
+    )
+    matches = F.regexp_extract_all(aug, F.lit(CONTACT_RE), 0)
+    return d.select(
+        "doc_id",
+        F.array_join(F.array_sort(matches), ",").alias("contacts"),
+        F.size(matches).cast("bigint").alias("n_contacts"),
+    )
+
+
 # =====================================================================
 # multimodal binary plumbing
 # =====================================================================
@@ -805,7 +852,13 @@ def q_kg_entities(spark, sf_dir):
 
     pages, _ = _kg_pages(spark)
     res = build_triples(spark, pages)
-    docs = entity_documents(res.entities, res.mapping, res.member_edges)
+    docs = entity_documents(
+        res.entities,
+        res.mapping,
+        res.member_edges,
+        contact_edges=res.contact_edges,
+        inst_regions=res.inst_regions,
+    )
     return docs.select(
         "id",
         "name",
@@ -813,6 +866,11 @@ def q_kg_entities(spark, sf_dir):
         F.array_join("classification", ",").alias("classification"),
         F.array_join("subclassification", ",").alias("subclassification"),
         "parent_id",
+        "gov_level",
+        F.array_join(
+            F.transform("contact_details", lambda s: F.concat_ws(":", s.type, s.value)),
+            ",",
+        ).alias("contact_details"),
         F.array_join(
             F.transform("identifiers", lambda s: F.concat_ws(":", s.scheme, s.id)),
             ",",
