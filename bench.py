@@ -80,19 +80,27 @@ def main() -> None:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
     emb.count()
-    lsh_r, ivf_r = [], []
+    lsh_r, lsh2_r, ivf_r = [], [], []
     for qid in (0, 17, 33):
         bf = {r["vec_id"] for r in ann_topk_bruteforce(emb, qid, 10).collect()}
         lsh = {r["vec_id"] for r in ann_topk_lsh(emb, qid, 10, n_planes=4, dim=64).collect()}
+        lsh2 = {
+            r["vec_id"]
+            for r in ann_topk_lsh(
+                emb, qid, 10, n_planes=4, dim=64, probe_hamming=2
+            ).collect()
+        }
         ivf = {r["vec_id"] for r in ann_topk_ivf(emb, qid, 10).collect()}
         lsh_r.append(len(bf & lsh) / max(len(bf), 1))
+        lsh2_r.append(len(bf & lsh2) / max(len(bf), 1))
         ivf_r.append(len(bf & ivf) / max(len(bf), 1))
     emb.unpersist()
     ann_recall = sum(lsh_r) / len(lsh_r)
+    ann_recall2 = sum(lsh2_r) / len(lsh2_r)
     ivf_recall = sum(ivf_r) / len(ivf_r)
     print(
-        f"# ann recall@10 vs brute force (3 queries): lsh={ann_recall:.2f} "
-        f"ivf={ivf_recall:.2f}",
+        f"# ann recall@10 vs brute force (3 queries): lsh(h<=1)={ann_recall:.2f} "
+        f"lsh(h<=2)={ann_recall2:.2f} ivf={ivf_recall:.2f}",
         file=sys.stderr,
     )
 
@@ -141,6 +149,7 @@ def main() -> None:
                 "triples_per_sec": round(tps, 1),
                 "pages_per_sec": round(pps, 1),
                 "ann_recall_at_10": round(ann_recall, 3),
+                "ann_recall_at_10_probe2": round(ann_recall2, 3),
                 "ann_ivf_recall_at_10": round(ivf_recall, 3),
                 "cpus": cpus,
             }

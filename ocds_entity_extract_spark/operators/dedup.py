@@ -70,6 +70,17 @@ def minhash_candidate_pairs(
         minhash_signature_from_hashes,
     )
 
+    # Right-size the scan: a small/compacted parquet input can come back as
+    # fewer partitions than cores (one file => ONE task), serializing the
+    # expensive shingle+md5 projection below. Repartition up to the default
+    # parallelism only when the scan under-splits — a real multi-TB input
+    # already has >= cores partitions and skips this (the shuffle ships
+    # raw text, so it must never trigger when the scan is already wide).
+    src = docs.select(id_col, text_col)
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+
     # ONE corpus pass computes the hashed-shingle arrays; the materialized
     # table (localCheckpoint — blocks GC-released when the query ends, no
     # harness-lifetime cache leak; an intermediate table at cluster scale)
@@ -77,7 +88,7 @@ def minhash_candidate_pairs(
     # shingling+md5 never run twice and the signature explode reads cheap
     # materialized arrays (see minhash_signature_from_hashes).
     sh = (
-        with_word_shingles(docs.select(id_col, text_col), text_col)
+        with_word_shingles(src, text_col)
         .select(
             id_col,
             F.transform("shingles", lambda s: portable_hash64(s)).alias("hs"),

@@ -197,23 +197,25 @@ def _bucket_pairs(
 ) -> DataFrame:
     """Bucketed rows -> (src, dst) pairs (src < dst) in ONE bounded shuffle.
 
-    Hot buckets (over `max_bucket` members) are removed BEFORE the
-    collect via a broadcast anti-join on the (tiny, by construction)
-    over-cap key list — no reducer ever materializes an unbounded member
-    array; then each bucket's sorted member array explodes into its
-    m(m-1)/2 pairs. Replaces the cap-join + self-join chain (3 shuffles)
-    whose fixed stage latency dominated at bench scale. May emit a pair
-    from several buckets — callers dedup downstream.
+    Hot buckets (over `max_bucket` members) are removed by a windowed
+    count over the SAME hash partitioning the collect uses — Catalyst
+    reuses the exchange, so cap + collect cost one shuffle total
+    (replaces the former hot-agg + broadcast-anti-join preamble: two
+    extra stage barriers whose fixed latency dominated at bench scale).
+    A hot bucket only ever streams through the window's spill-to-disk
+    sorter, never into an in-memory member array — the collect_list
+    below sees at most `max_bucket` rows per bucket by construction;
+    then each bucket's sorted member array explodes into its m(m-1)/2
+    pairs. May emit a pair from several buckets — callers dedup
+    downstream.
     """
-    hot = (
-        buckets.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("_bsz"))
-        .filter(F.col("_bsz") > max_bucket)
-        .select(*keys)
-    )
-    ok = buckets.join(F.broadcast(hot), keys, "left_anti")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys)
     grouped = (
-        ok.groupBy(*keys)
+        buckets.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bsz") <= max_bucket)
+        .groupBy(*keys)
         .agg(F.array_sort(F.collect_list(id_col)).alias("_ids"))
         .filter(F.size("_ids") >= 2)
     )

@@ -52,25 +52,45 @@ def ann_topk_lsh(
     n_planes: int = 8,
     dim: int | None = None,
     multi_probe: bool = True,
+    probe_hamming: int | None = None,
 ) -> DataFrame:
     """Top-k by cosine among vectors in the query's LSH bucket, plus (by
     default) all hamming-1 neighbor buckets — multi-probe LSH recovers the
     recall a single-probe bucket loses when the query sits near a
     hyperplane, at the cost of n_planes extra (tiny) bucket scans.
 
+    `probe_hamming` generalizes the probe breadth: 0 = exact bucket only,
+    1 = default multi-probe, 2 = also all hamming-2 neighbor buckets
+    (1 + n + n(n-1)/2 probes). On LOW-structure corpora (near-random
+    vectors — per-plane agreement p barely above 1/2) expected recall is
+    ~= P(signature within probe radius) = sum over the radius of the
+    binomial terms, so recall is bought only with candidate fraction;
+    probe breadth is the knob that trades them (the bench reports both
+    radii). `multi_probe` is kept as the legacy boolean (== radius 1/0).
+
     `dim` should be passed (or read from upstream metadata); the
     `.first()` fallback costs an extra driver job per call.
     """
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
+    if probe_hamming is None:
+        probe_hamming = 1 if multi_probe else 0
     bucketed = with_lsh_bucket(embeddings, vec_col, dim, n_planes)
     qrow = bucketed.filter(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("qv"), F.col("bucket").alias("qbucket")
     )
-    if multi_probe:
+    masks = [0]
+    if probe_hamming >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if probe_hamming >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    if len(masks) > 1:
         probes = F.array(
-            F.col("qbucket"),
-            *[F.col("qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+            *[F.col("qbucket").bitwiseXOR(F.lit(m)) for m in masks]
         )
         cond = F.array_contains(probes, F.col("bucket"))
     else:
