@@ -817,7 +817,170 @@ def q_multimodal_resize_stub(spark, sf_dir):
 
 
 # =====================================================================
-# KG pipeline (flagship; rows-only — pandas UDF + LSH + CC)
+# KG pipeline (flagship)
+# =====================================================================
+
+def _kg_merged_oracle_sql() -> str:
+    """DuckDB twin of the flagship chain extract_text -> detect mentions ->
+    normalize/slug -> classify -> merge (stages 1-4 of plans/pipeline;
+    linking/CC are oracled separately via linking_signatures and excluded
+    here because CC is iterative).
+
+    The page synthesis is the oracle's lever: pages are built from
+    documents.parquet with a KNOWN html template, so the expected
+    pandas-UDF extraction output is constructible in SQL (title + visible
+    paragraphs, script dropped, whitespace collapsed) and everything
+    downstream — the shared Java/RE2 mention grammar, the slug/normalize
+    twins proven by q:scalar_text_fns, the §2.9 heuristic, the A1-A17
+    merge aggregates — runs value-for-value in both engines.
+    """
+    from ocds_entity_extract_spark.functions.classify import (
+        COMPANY_SUFFIX_SLUG_RE,
+        INSTITUTION_KEYWORDS,
+    )
+    from ocds_entity_extract_spark.operators.mentions import MENTION_RE
+
+    kw = ", ".join(f"'{k}'" for k in INSTITUTION_KEYWORDS)
+    return rf"""
+    WITH pages AS (
+      SELECT 'https://docs.example.mx/' || CAST(doc_id AS VARCHAR) AS url,
+             TIMESTAMP '2025-01-01 00:00:00'
+               + doc_id * INTERVAL 1 SECOND AS warc_ts,
+             'doc hoy Grupo Alfa' || CAST(doc_id % 50 AS VARCHAR)
+               || (CASE WHEN doc_id % 3 = 0 THEN ' S.A.' ELSE '' END)
+               || ' anunció resultados.'
+               || (CASE WHEN doc_id % 10 = 0
+                   THEN ' También participó Grupo Alfa0 en la sesión.'
+                   ELSE '' END)
+               || ' ' || text AS text
+      FROM documents
+    ),
+    norm AS (
+      SELECT url, warc_ts,
+             trim(regexp_replace(text, '\s+', ' ', 'g')) AS text
+      FROM pages
+    ),
+    m AS (
+      SELECT url, warc_ts,
+             unnest(regexp_extract_all(text, '{MENTION_RE}')) AS surface
+      FROM norm
+    ),
+    feat AS (
+      SELECT url, warc_ts,
+             regexp_replace(trim(surface), '\s+', ' ', 'g') AS name_norm,
+             trim(regexp_replace(lower(strip_accents(surface)),
+                                 '[^a-z0-9]+', '-', 'g'), '-') AS entity_id,
+             regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS domain
+      FROM m
+    ),
+    typed AS (
+      SELECT *,
+             CASE
+               WHEN split_part(entity_id, '-', 1) IN ({kw}) THEN 3
+               WHEN regexp_matches(entity_id, '{COMPANY_SUFFIX_SLUG_RE}') THEN 2
+               ELSE 1
+             END AS rank
+      FROM feat
+      WHERE entity_id <> ''
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY entity_id
+               ORDER BY warc_ts, url, name_norm
+             ) AS rn
+      FROM typed
+    )
+    SELECT entity_id,
+           max(CASE WHEN rn = 1 THEN name_norm END) AS name,
+           CASE max(rank) WHEN 3 THEN 'institution'
+                          WHEN 2 THEN 'company'
+                          ELSE 'person' END AS entity_type,
+           CAST(count(*) AS BIGINT) AS mention_count,
+           CAST(count(DISTINCT url) AS BIGINT) AS page_count,
+           strftime(min(warc_ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
+           strftime(max(warc_ts), '%Y-%m-%d %H:%M:%S') AS last_seen,
+           array_to_string(list_sort(list_distinct(list(name_norm))), ',')
+             AS all_names,
+           array_to_string(list_sort(list_distinct(list(domain))), ',')
+             AS sources
+    FROM ranked
+    GROUP BY entity_id
+    """
+
+
+@query("kg_merged_entities", _kg_merged_oracle_sql())
+def q_kg_merged_entities(spark, sf_dir):
+    """Flagship stages 1-4 under the full value-hash gate: documents ->
+    deterministic template pages -> extract_text (REAL Arrow pandas UDF) ->
+    fused mention scan -> dictionary-encoded normalize+classify -> merge
+    aggregation — the same operator chain plans/pipeline.build_triples runs,
+    minus linking/CC (iterative; verified by golden P/R + linking_signatures
+    instead). See _kg_merged_oracle_sql for how the DuckDB twin mirrors the
+    pandas-UDF stage."""
+    from ocds_entity_extract_spark.functions.html import with_extracted_text
+    from ocds_entity_extract_spark.operators.mentions import (
+        detect_spans,
+        mentions_via_dim,
+        surface_dim,
+    )
+    from ocds_entity_extract_spark.operators.merge import merge_entities
+    from ocds_entity_extract_spark.functions.classify import with_entity_type
+
+    docs = _t(spark, sf_dir, "documents")
+    surface = F.concat(
+        F.lit("Grupo Alfa"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" S.A.")).otherwise(F.lit("")),
+    )
+    hot = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.lit(" También participó Grupo Alfa0 en la sesión."),
+    ).otherwise(F.lit(""))
+    html = F.encode(
+        F.concat(
+            F.lit(
+                "<html><head><title>doc</title><script>var x=1;"
+                "</script></head><body><p>hoy "
+            ),
+            surface,
+            F.lit(" anunció resultados."),
+            hot,
+            F.lit("</p><p>"),
+            F.col("text"),
+            F.lit("</p></body></html>"),
+        ),
+        "UTF-8",
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://docs.example.mx/"), F.col("doc_id").cast("string")).alias("url"),
+        (
+            F.lit("2025-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(secs=F.col("doc_id"))
+        ).alias("warc_ts"),
+        html.alias("html"),
+        F.lit(None).cast("string").alias("text"),
+    )
+    spans = detect_spans(with_extracted_text(pages))
+    dim = with_entity_type(surface_dim(spans))
+    ents = merge_entities(mentions_via_dim(spans, dim, broadcast=True))
+    return ents.select(
+        "entity_id",
+        "name",
+        "entity_type",
+        F.col("mention_count").cast("bigint").alias("mention_count"),
+        F.col("page_count").cast("bigint").alias("page_count"),
+        F.date_format("first_seen", "yyyy-MM-dd HH:mm:ss").alias("first_seen"),
+        F.date_format("last_seen", "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+        F.array_join(
+            F.array_sort(F.concat(F.array("name"), "other_names")), ","
+        ).alias("all_names"),
+        F.array_join("sources", ",").alias("sources"),
+    )
+
+
+# =====================================================================
+# KG full pipeline (rows-only — pandas UDF + LSH + CC)
 # =====================================================================
 
 def _kg_pages(spark, n_pages: int = 300):
