@@ -162,6 +162,66 @@ def _minhash_docs_oracle_sql(
     """
 
 
+def _dedup_clusters_oracle_sql() -> str:
+    """DuckDB twin of MinHash pairs -> connected components: the verified
+    near-dup pair query (same SQL as dedup_minhash_docs) feeds a recursive
+    transitive closure; each component labels as its minimum doc id — the same
+    contract operators/cc.connected_components guarantees."""
+    return rf"""
+    WITH RECURSIVE pairs AS ({_minhash_docs_oracle_sql()}),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+    ),
+    members AS (
+      SELECT src AS member, least(src, min(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    )
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS cluster_size,
+           array_to_string(
+             list_transform(list_sort(list(member)), x -> CAST(x AS VARCHAR)),
+             ',') AS members
+    FROM members
+    GROUP BY cluster_id
+    """
+
+
+@query("dedup_clusters", _dedup_clusters_oracle_sql())
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: verified MinHash pairs -> connected components
+    (the DISTRIBUTED alternating-star loop — `small_graph_threshold=0`
+    forces it so the oracle covers the scale path, not the driver-side
+    union-find shortcut) -> one row per component labeled by its min doc
+    id. The DuckDB twin computes the same components via a recursive
+    transitive closure, so even the iterative CC operator sits under the
+    value-hash gate."""
+    from ocds_entity_extract_spark.operators.cc import connected_components
+    from ocds_entity_extract_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    edges = minhash_candidate_pairs(docs).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    cc = connected_components(edges, small_graph_threshold=0)
+    return cc.groupBy(F.col("canonical_id").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("entity_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("members"),
+    )
+
+
 @query("dedup_minhash_docs", _minhash_docs_oracle_sql())
 def q_dedup_minhash_docs(spark, sf_dir):
     """MinHash-LSH near-dup candidates over word 3-gram shingles of
