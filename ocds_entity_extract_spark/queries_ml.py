@@ -678,6 +678,112 @@ def q_doc_fingerprints(spark, sf_dir):
     )
 
 
+@query(
+    "dataset_split",
+    """
+    SELECT split, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars
+    FROM (
+      SELECT lang, n_chars,
+             CASE
+               WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+                    % 100 < 80 THEN 'train'
+               WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+                    % 100 < 90 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM documents)
+    GROUP BY split, lang
+    """,
+)
+def q_dataset_split(spark, sf_dir):
+    """Deterministic hash-based train/val/test split (80/10/10): the
+    content-stable assignment a training-data pipeline needs — pure
+    codegen (md5 of the id, first 2 bytes mod 100), no rand(), identical
+    under any partitioning/rerun, and the doc's split never changes when
+    the corpus grows. Per (split, lang) doc + char counts."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return d.groupBy(split.alias("split"), "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
+@query(
+    "events_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts)
+                       - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)
+                       > 1800000000
+                  OR lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, event_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM g
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           CAST(count(*) AS BIGINT) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           round((max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0, 3)
+             AS duration_s
+    FROM s
+    GROUP BY user_id, session_no
+    """,
+)
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity splits a session): the
+    lag-flag + running-sum window idiom — per-user shuffle once, both
+    windows and the final per-session aggregation reuse that partitioning.
+    The batch twin of the stateful-streaming profile operator
+    (streaming/stateful.py)."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # events.ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — gaps and
+    # durations are timezone-invariant, so the cast is safe
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800 * 1000 * 1000), 1).otherwise(0)
+    s = e.withColumn(
+        "session_no",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return s.groupBy("user_id", F.col("session_no").cast("bigint").alias("session_no")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.round(
+            (
+                F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+                - F.min(F.unix_micros(F.col("ts").cast("timestamp")))
+            )
+            / 1e6,
+            3,
+        ).alias("duration_s"),
+    )
+
+
 _CONTACT_RE_SQL = (
     "(?:[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(?:\\.[A-Za-z0-9-]+)+"
     "|tel[.:]?\\s+[0-9]{2,3}[- ][0-9]{4}[- ][0-9]{4})"
