@@ -37,6 +37,9 @@ HEADLINE = [
     "token_stats_total",
     "doc_fingerprints",
     "multimodal_decode_stub",
+    "dedup_clusters",
+    "kg_merged_entities",
+    "events_sessionize",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "60000"))

@@ -71,6 +71,10 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
             continue
+        finally:
+            # queries that cache internals (linking signatures, pipeline
+            # dims) must not accumulate executor storage across the sweep
+            spark.catalog.clearCache()
         el = time.time() - t0
         if name not in oracles:
             print(f"ok?   {name}: rows-only {len(sdf)} rows, {el:.1f}s")
