@@ -58,22 +58,39 @@ def cpu_control(levels: list[int]) -> dict[int, float]:
     return {n: n / run(n) for n in levels}  # work-units per second
 
 
-def run_level(cores: int, n_pages: int, reps: int) -> dict:
-    best = None
+def run_once(cores: int, n_pages: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, str(ROOT / "bench" / "pipeline_job.py"), str(cores), str(n_pages)],
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=str(ROOT),
+        env={**os.environ, "SPARK_GRAFT_DRIVER_MEM": "16g"},
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def run_levels_interleaved(
+    levels: list[int], n_pages: int, reps: int
+) -> dict[int, dict]:
+    """ROUND-ROBIN reps across levels (2,8,32, 2,8,32, ...), best-of kept.
+
+    Per-level blocks confound slow box-level drift (host co-tenancy,
+    thermal state, page cache) with the parallelism level itself —
+    measured on this sandbox the SAME binary's local[8] block moved
+    82.8s -> 105.6s between two back-to-back runs, a 27% swing that
+    dwarfs the effect under test. Interleaving makes every level sample
+    every time window, so drift cancels out of the between-level RATIO
+    (the quantity the gate is about) instead of biasing it.
+    """
+    best: dict[int, dict] = {}
     for i in range(reps):
-        out = subprocess.run(
-            [sys.executable, str(ROOT / "bench" / "pipeline_job.py"), str(cores), str(n_pages)],
-            capture_output=True,
-            text=True,
-            check=True,
-            cwd=str(ROOT),
-            env={**os.environ, "SPARK_GRAFT_DRIVER_MEM": "16g"},
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        r = json.loads(line)
-        print(f"#   rep {i}: {r['secs']}s", file=sys.stderr)
-        if best is None or r["secs"] < best["secs"]:
-            best = r
+        for c in levels:
+            r = run_once(c, n_pages)
+            print(f"#   round {i} local[{c}]: {r['secs']}s", file=sys.stderr)
+            if c not in best or r["secs"] < best[c]["secs"]:
+                best[c] = r
     return best
 
 
@@ -92,10 +109,9 @@ def main() -> int:
     else:
         levels, reps = [2, 8, 32], 2
 
-    results: dict[int, dict] = {}
+    print(f"# running {reps} interleaved rounds over {levels} ...", file=sys.stderr)
+    results = run_levels_interleaved(levels, n_pages, reps)
     for c in levels:
-        print(f"# running local[{c}] ...", file=sys.stderr)
-        results[c] = run_level(c, n_pages, reps)
         print(f"# {results[c]}", file=sys.stderr)
 
     print("# running pure-CPU control ...", file=sys.stderr)
@@ -133,7 +149,11 @@ extraction, mention detection, classification, merge, MinHash-LSH linking,
 connected components, triple assembly) on the SAME deterministic input
 ({n_pages} pages, seed=42), at {len(levels)} parallelism levels, each in a
 fresh JVM. Timing excludes JVM startup, Python-worker warmup, corpus
-generation and input materialization; best of {reps} reps per level.
+generation and input materialization; best of {reps} reps per level,
+reps ROUND-ROBIN-interleaved across levels so slow box-level drift
+(host co-tenancy/thermal/page-cache state — measured ~25% between-run
+swings on identical binaries) samples every level equally instead of
+biasing the between-level ratio.
 
 | parallelism | wall (s) | pages/s | triples/s |
 |---|---|---|---|

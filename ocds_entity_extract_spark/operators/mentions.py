@@ -61,20 +61,35 @@ def detect_spans(pages: DataFrame, text_col: str = "text") -> DataFrame:
     each re-scan pages and re-run the (expensive) upstream text-extraction
     pandas UDF. The result is small (spans only, text dropped) — cacheable
     by the caller.
+
+    The membership and contact automata are GATED on cheap substring
+    prescans (a role word / '@' / 'tel'): contains() is ~an order of
+    magnitude cheaper per char than running the alternation automaton, and
+    most pages carry no membership sentence or contact line, so two fast
+    scans replace two slow ones on the majority of bytes. False positives
+    (e.g. 'hotel', 'cartel') merely run the regex and match nothing —
+    identical output, pure CPU win at every scale.
     """
+    t = F.col(text_col)
+    member_gate = (
+        t.contains("titular")
+        | t.contains("president")
+        | t.contains("director")
+        | t.contains("gerente")
+    )
+    contact_gate = t.contains("@") | t.contains("tel")
+    empty = F.array().cast("array<string>")
     return pages.select(
         "url",
         "warc_ts",
         url_domain("url").alias("domain"),
-        F.regexp_extract_all(F.col(text_col), F.lit(MENTION_RE), 0).alias(
-            "mention_spans"
-        ),
-        F.regexp_extract_all(F.col(text_col), F.lit(MEMBERSHIP_RE), 0).alias(
-            "member_spans"
-        ),
-        F.regexp_extract_all(F.col(text_col), F.lit(CONTACT_RE), 0).alias(
-            "contact_spans"
-        ),
+        F.regexp_extract_all(t, F.lit(MENTION_RE), 0).alias("mention_spans"),
+        F.when(
+            member_gate, F.regexp_extract_all(t, F.lit(MEMBERSHIP_RE), 0)
+        ).otherwise(empty).alias("member_spans"),
+        F.when(
+            contact_gate, F.regexp_extract_all(t, F.lit(CONTACT_RE), 0)
+        ).otherwise(empty).alias("contact_spans"),
     )
 
 
