@@ -67,10 +67,24 @@ def main() -> None:
 
     path = corpus_path(n_pages)
 
+    # Size file splits so the dominant scan+extract stage runs ~4 task
+    # waves per core: the corpus is many small, highly-compressed files,
+    # and the default 128 MB maxPartitionBytes + 4 MB openCostInBytes
+    # packs them into ~2x-cores partitions — a 1-2-wave stage whose
+    # stragglers bound wall-clock at high core counts. (Cluster analogue:
+    # tune split size so map stages get several waves per executor slot.)
+    corpus_bytes = sum(
+        f.stat().st_size for f in pathlib.Path(path).glob("*.parquet")
+    )
+    split = max(1 << 20, corpus_bytes // (cores * 4))
     spark = get_spark(
         app_name=f"scaling-{cores}",
         master=f"local[{cores}]",
         shuffle_partitions=max(8, cores * 2),
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(split),
+            "spark.sql.files.openCostInBytes": str(128 * 1024),
+        },
     )
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
 

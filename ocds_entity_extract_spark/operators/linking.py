@@ -328,3 +328,107 @@ def verified_edges(
     if cache_signatures:
         edges._cached_deps = [sig]  # caller-managed unpersist (see docstring)
     return edges
+
+
+def verified_edges_py(
+    slugs: list[str],
+    threshold: float = DEFAULT_CONTAINMENT_THRESHOLD,
+    min_intersect: int = DEFAULT_MIN_INTERSECT,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+    prefix_len: int = DEFAULT_PREFIX_LEN,
+    n: int = 3,
+) -> list[tuple[str, str, float, float]]:
+    """Exact Python twin of `verified_edges` for driver-side execution.
+
+    Same shingling (`with_shingles`), same md5-derived portable hash and
+    seeded affine minhash family (functions/phash), same LSH band + capped
+    bucket + prefix blocking, same containment/jaccard verification — the
+    edge SET is identical by construction (parity-tested in
+    tests/test_linking_cc.py). Below `small linking threshold` id counts
+    the distributed path is ~15 sub-second shuffle stages of pure
+    scheduling latency; this is the size-adaptive escape hatch, the same
+    argument as `cc._cc_driver_side` and a broadcast join.
+    """
+    import hashlib
+    from collections import defaultdict
+
+    from ocds_entity_extract_spark.functions.phash import (
+        MERSENNE_P,
+        minhash_params,
+    )
+
+    ids = sorted(set(slugs))
+    params = minhash_params(num_hashes)
+    n_bands = num_hashes // band_size
+
+    hs: dict[str, frozenset[int]] = {}
+    bands: dict[str, list[str]] = {}
+    for s in ids:
+        grams = {s[i : i + n] for i in range(max(len(s) - n + 1, 1))}
+        hset = frozenset(
+            int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+            for g in grams
+        )
+        hs[s] = hset
+        h31 = [h % MERSENNE_P for h in hset]
+        mh = [min((a * h + b) % MERSENNE_P for h in h31) for a, b in params]
+        bands[s] = [
+            ",".join(str(mh[b * band_size + j]) for j in range(band_size))
+            for b in range(n_bands)
+        ]
+
+    buckets: dict[tuple, list[str]] = defaultdict(list)
+    for s in ids:
+        for b_id, b_hash in enumerate(bands[s]):
+            buckets[("b", b_id, b_hash)].append(s)
+        if len(s) >= prefix_len:
+            buckets[("p", s[:prefix_len])].append(s)
+
+    pairs: set[tuple[str, str]] = set()
+    for members in buckets.values():
+        if 2 <= len(members) <= max_bucket:
+            ms = sorted(members)
+            for i, x in enumerate(ms):
+                for y in ms[i + 1 :]:
+                    pairs.add((x, y))
+
+    edges = []
+    for src, dst in sorted(pairs):
+        inter = len(hs[src] & hs[dst])
+        if inter < min_intersect:
+            continue
+        containment = inter / min(len(hs[src]), len(hs[dst]))
+        if containment >= threshold:
+            jac = inter / len(hs[src] | hs[dst])
+            edges.append((src, dst, containment, jac))
+    return edges
+
+
+def linking_mapping_driver_side(spark, slugs: list[str]) -> "DataFrame":
+    """ids -> (entity_id, canonical_id) via `verified_edges_py` + union-find,
+    identity rows for singletons. Output contract identical to
+    `canonical_mapping(ids, verified_edges(ids))`."""
+    edges = verified_edges_py(slugs)
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for src, dst, _c, _j in edges:
+        parent.setdefault(src, src)
+        parent.setdefault(dst, dst)
+        ra, rb = find(src), find(dst)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    rows = [(s, find(s) if s in parent else s) for s in sorted(set(slugs))]
+    return spark.createDataFrame(
+        rows, "entity_id string, canonical_id string"
+    )

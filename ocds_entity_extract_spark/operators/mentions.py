@@ -93,6 +93,75 @@ def detect_spans(pages: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def detect_spans_fused(
+    pages: DataFrame, html_col: str = "html", text_col: str = "text"
+) -> DataFrame:
+    """html -> (mention, membership, contact) span arrays entirely inside
+    the Python worker; the extracted TEXT never crosses Arrow back to the
+    JVM.
+
+    Motivation (event-log task metrics at 1M pages): the extract stage's
+    JVM tasks spend most of their "run time" blocked on the Python worker,
+    and the per-core Python throughput drops ~33% from 2 to 8 local cores —
+    the stage is memory-traffic-bound, and the full text column shipped
+    back per page (then re-scanned by three JVM regex automata) is most of
+    that traffic. Finding spans where the text already is (the worker that
+    just built it, via C-speed `re`) returns only a handful of short
+    strings per page: less Arrow serialization, no JVM regex pass, same
+    output — `detect_spans` (the JVM path) is kept as the parity oracle.
+
+    Text passthrough matches `with_extracted_text`: a non-null `text_col`
+    is used as-is (incremental re-runs), html parsed otherwise. The
+    substring gates mirror `detect_spans` exactly.
+    """
+    import re
+
+    from ocds_entity_extract_spark.functions.html import extract_text_bytes
+
+    mention_pat = re.compile(MENTION_RE)
+    member_pat = re.compile(MEMBERSHIP_RE)
+    contact_pat = re.compile(CONTACT_RE)
+
+    @F.pandas_udf(
+        "mention_spans array<string>, member_spans array<string>,"
+        " contact_spans array<string>"
+    )
+    def _spans(html: pd.Series, text: pd.Series) -> pd.DataFrame:
+        ms, bs, cs = [], [], []
+        for h, t in zip(html, text):
+            if t is None:
+                t = extract_text_bytes(h) or ""
+            ms.append(mention_pat.findall(t))
+            bs.append(
+                [m.group(0) for m in member_pat.finditer(t)]
+                if (
+                    "titular" in t
+                    or "president" in t
+                    or "director" in t
+                    or "gerente" in t
+                )
+                else []
+            )
+            cs.append(
+                contact_pat.findall(t) if ("@" in t or "tel" in t) else []
+            )
+        return pd.DataFrame(
+            {"mention_spans": ms, "member_spans": bs, "contact_spans": cs}
+        )
+
+    text_expr = (
+        F.col(text_col)
+        if text_col in pages.columns
+        else F.lit(None).cast("string")
+    )
+    return pages.select(
+        "url",
+        "warc_ts",
+        url_domain("url").alias("domain"),
+        _spans(F.col(html_col), text_expr).alias("_s"),
+    ).select("url", "warc_ts", "domain", "_s.*")
+
+
 def mentions_from_spans(spans: DataFrame) -> DataFrame:
     """detect_spans output -> one row per mention (explode + normalize)."""
     return _finish(

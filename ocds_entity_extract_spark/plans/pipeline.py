@@ -39,12 +39,11 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ocds_entity_extract_spark.functions.classify import with_entity_type
-from ocds_entity_extract_spark.functions.html import with_extracted_text
 from ocds_entity_extract_spark.operators.cc import canonical_mapping
 from ocds_entity_extract_spark.operators.linking import verified_edges
 from ocds_entity_extract_spark.operators.mentions import (
     contacts_from_spans,
-    detect_spans,
+    detect_spans_fused,
     memberships_from_spans,
     mentions_via_dim,
     surface_dim,
@@ -78,15 +77,15 @@ def build_triples(
     max_broadcast_surfaces: int = 2_000_000,
     surface_broadcast: str = "auto",   # auto | force | aqe
     emit_areas: bool = True,
+    max_driver_linking: int = 100_000,
 ) -> PipelineResult:
     """Run the full plan; all returned DataFrames are lazy except cached
     intermediates."""
-    pages_t = with_extracted_text(pages)
-
-    # ONE pass over pages computes text (pandas UDF) + both span arrays;
-    # the small span table is cached so the mention and membership branches
-    # never re-run the expensive extraction.
-    spans = detect_spans(pages_t)
+    # ONE pass over pages computes all three span arrays inside the Python
+    # worker (html -> text -> spans; the text never crosses Arrow back to
+    # the JVM — see detect_spans_fused). The small span table is cached so
+    # the mention and membership branches never re-run the extraction.
+    spans = detect_spans_fused(pages)
     if cache_intermediates:
         spans = spans.cache()
 
@@ -100,13 +99,15 @@ def build_triples(
     # AQE's runtime-size decision so a 10^9-surface crawl can never OOM on
     # a forced broadcast.
     dim = with_entity_type(surface_dim(spans), classifier_override)
+    dim_count = None
     if surface_broadcast == "force":
         use_broadcast = True
     elif surface_broadcast == "aqe":
         use_broadcast = False
     elif cache_intermediates:
         dim = dim.cache()
-        use_broadcast = dim.count() <= max_broadcast_surfaces
+        dim_count = dim.count()
+        use_broadcast = dim_count <= max_broadcast_surfaces
     else:
         use_broadcast = False
     mentions = mentions_via_dim(spans, dim, broadcast=use_broadcast)
@@ -126,9 +127,24 @@ def build_triples(
     # mention stream — two full corpus passes saved (measured: the
     # mention-stream distinct was the CC stage's dominant cost and scaled
     # inversely past 8 cores on one memory bus).
+    # linking + CC are SIZE-ADAPTIVE like the broadcast decision: under
+    # `max_driver_linking` distinct ids (known from the dim count — a
+    # surface count, an upper bound on ids) the whole LSH-block-verify +
+    # union-find chain runs driver-side on the collected id list (exact
+    # Python twin, parity-tested) — the distributed version of this stage
+    # is ~15 sub-second shuffles whose scheduling latency dominates any
+    # sub-web-scale corpus. Above the threshold: the distributed path.
     ids = dim.select("entity_id")
-    edges = verified_edges(ids)
-    mapping = canonical_mapping(ids, edges)
+    if dim_count is not None and dim_count <= max_driver_linking:
+        from ocds_entity_extract_spark.operators.linking import (
+            linking_mapping_driver_side,
+        )
+
+        slugs = [r["entity_id"] for r in ids.distinct().collect()]
+        mapping = linking_mapping_driver_side(spark, slugs)
+    else:
+        edges = verified_edges(ids)
+        mapping = canonical_mapping(ids, edges)
     if cache_intermediates:
         mapping = mapping.cache()
 

@@ -1084,9 +1084,8 @@ def q_kg_merged_entities(spark, sf_dir):
     minus linking/CC (iterative; verified by golden P/R + linking_signatures
     instead). See _kg_merged_oracle_sql for how the DuckDB twin mirrors the
     pandas-UDF stage."""
-    from ocds_entity_extract_spark.functions.html import with_extracted_text
     from ocds_entity_extract_spark.operators.mentions import (
-        detect_spans,
+        detect_spans_fused,
         mentions_via_dim,
         surface_dim,
     )
@@ -1127,7 +1126,7 @@ def q_kg_merged_entities(spark, sf_dir):
         html.alias("html"),
         F.lit(None).cast("string").alias("text"),
     )
-    spans = detect_spans(with_extracted_text(pages))
+    spans = detect_spans_fused(pages)
     dim = with_entity_type(surface_dim(spans))
     ents = merge_entities(mentions_via_dim(spans, dim, broadcast=True))
     return ents.select(

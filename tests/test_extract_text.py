@@ -63,3 +63,37 @@ def test_golden_file(spark, small_corpus):
         GOLDEN_PATH.write_text(json.dumps(actual, indent=1, sort_keys=True))
     golden = json.loads(GOLDEN_PATH.read_text())
     assert actual == golden
+
+
+def test_fast_path_matches_parser_oracle(small_corpus):
+    """The regex fast path is byte-identical to the stdlib-HTMLParser spec
+    oracle on the corpus AND on adversarial markup (unterminated blocks,
+    quoted '>' attributes, entity-encoded tags, broken utf-8)."""
+    from ocds_entity_extract_spark.functions.html import extract_text_bytes_parser
+
+    pages, _, _ = small_corpus
+    for p in pages:
+        assert extract_text_bytes(p["html"]) == extract_text_bytes_parser(p["html"]), p["url"]
+
+    adversarial = [
+        None,
+        b"",
+        b"plain",
+        b"<p>a</p",
+        b"a < b <p>c</p>",
+        b'<a title="x>y">t</a>',
+        b'<script>var a="</script>";</script>rest',
+        b"<!-- <script>x</script> -->ok",
+        b"<script><!-- </script>ok2",
+        b"&lt;p&gt; &amp;amp; &copy;",
+        b"<SCRIPT>UP</SCRIPT>low",
+        b"<style>s</style>text<template>t</template>end",
+        b"<p>unterminated <script>xx",
+        b"\xff\xfe broken utf8 <p>ok</p>",
+        b"<!-- unterminated",
+        b"x<!DOCTYPE html>y",
+        b"<p>fin</p><",
+        b"tail<",
+    ]
+    for c in adversarial:
+        assert extract_text_bytes(c) == extract_text_bytes_parser(c), c

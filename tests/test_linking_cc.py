@@ -115,3 +115,49 @@ def test_canonical_mapping_includes_singletons(spark):
     edges = spark.createDataFrame([("b", "a")], "src string, dst string")
     m = {r["entity_id"]: r["canonical_id"] for r in canonical_mapping(all_ids, edges).collect()}
     assert m == {"a": "a", "b": "a", "zz-singleton": "zz-singleton"}
+
+
+def test_driver_side_linking_matches_distributed(spark, pages_df):
+    """The size-adaptive driver-side linking+CC fast path emits EXACTLY the
+    distributed chain's mapping (same blocking, same hash family, same
+    verification, same union contract) on the corpus surface dim."""
+    from ocds_entity_extract_spark.operators.cc import canonical_mapping
+    from ocds_entity_extract_spark.operators.linking import (
+        linking_mapping_driver_side,
+        verified_edges,
+        verified_edges_py,
+    )
+    from ocds_entity_extract_spark.operators.mentions import (
+        detect_spans_fused,
+        surface_dim,
+    )
+
+    ids = surface_dim(detect_spans_fused(pages_df)).select("entity_id")
+    slugs = [r["entity_id"] for r in ids.distinct().collect()]
+    assert len(slugs) > 50
+
+    dist_edges = sorted(
+        (r["src"], r["dst"]) for r in verified_edges(ids).collect()
+    )
+    py_edges = sorted((s, d) for s, d, _c, _j in verified_edges_py(slugs))
+    assert dist_edges == py_edges and len(py_edges) > 0
+
+    dist_map = sorted(
+        map(tuple, canonical_mapping(ids, verified_edges(ids)).collect())
+    )
+    py_map = sorted(
+        map(tuple, linking_mapping_driver_side(spark, slugs).collect())
+    )
+    assert dist_map == py_map
+
+
+def test_build_triples_driver_vs_distributed_linking(spark, pages_df):
+    """build_triples emits the identical triple set whichever linking path
+    the size threshold selects."""
+    from ocds_entity_extract_spark.plans.pipeline import build_triples
+
+    fast = build_triples(spark, pages_df)
+    slow = build_triples(spark, pages_df, max_driver_linking=0)
+    t_fast = {tuple(r) for r in fast.triples.collect()}
+    t_slow = {tuple(r) for r in slow.triples.collect()}
+    assert t_fast == t_slow and len(t_fast) > 0

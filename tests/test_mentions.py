@@ -64,3 +64,20 @@ def test_mentions_via_dim_unhinted_equals_broadcast(spark, pages_df):
     a = {tuple(r) for r in mentions_via_dim(spans, dim, broadcast=True).collect()}
     b = {tuple(r) for r in mentions_via_dim(spans, dim, broadcast=False).collect()}
     assert a and a == b
+
+
+def test_detect_spans_fused_matches_jvm_path(spark, pages_df):
+    """The all-Python fused span extractor (html -> spans, text never
+    returned to the JVM) emits exactly what the JVM regex path emits over
+    extracted text — same rows, same arrays, same order."""
+    from ocds_entity_extract_spark.functions.html import with_extracted_text
+    from ocds_entity_extract_spark.operators.mentions import (
+        detect_spans,
+        detect_spans_fused,
+    )
+
+    jvm = detect_spans(with_extracted_text(pages_df)).orderBy("url").collect()
+    py = detect_spans_fused(pages_df).orderBy("url").collect()
+    assert len(jvm) == len(py)
+    for a, b in zip(jvm, py):
+        assert a == b, a["url"]
