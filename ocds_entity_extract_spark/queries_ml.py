@@ -1210,3 +1210,313 @@ def q_kg_entities(spark, sf_dir):
         F.col("counters.members").alias("members"),
         F.array_join("sources", ",").alias("sources"),
     )
+
+
+# =====================================================================
+# KG full pipeline UNDER the value-hash gate (template corpus)
+# =====================================================================
+#
+# `kg_merged_entities` put stages 1-4 (extract -> mention -> classify ->
+# merge) under the oracle; this puts the WHOLE of plans/pipeline.build_triples
+# — including the MinHash-LSH linking self-join, the iterative connected
+# components, membership-edge canonicalization and the area machinery —
+# under the same gate. The lever is the same: pages synthesized from
+# `documents` with a KNOWN html template, so every stage has an exact
+# DuckDB twin (the linking math via the portable md5-derived hash family,
+# CC via a recursive transitive closure, areas via the inlined state dim).
+
+_KG_TPL_STATES = ["Jalisco", "Sonora", "Durango", "Colima"]
+
+_SLUG_SQL = (
+    "trim(regexp_replace(lower(strip_accents({e})), '[^a-z0-9]+', '-', 'g'), '-')"
+)
+
+
+def _kg_template_pages(docs):
+    """documents -> deterministic template pages exercising every pipeline
+    path: company aliasing (S.A. variant), a hot cross-page entity,
+    place-suffixed institutions (area inference), membership sentences
+    (person, role de org), plus the free-text tail."""
+    d = F.col("doc_id")
+    surface = F.concat(
+        F.lit("Grupo Alfa"),
+        (d % 50).cast("string"),
+        F.when(d % 3 == 0, F.lit(" S.A.")).otherwise(F.lit("")),
+    )
+    hot = F.when(
+        d % 10 == 0, F.lit(" También participó Grupo Alfa0 en la sesión.")
+    ).otherwise(F.lit(""))
+    state = F.element_at(
+        F.array(*[F.lit(s) for s in _KG_TPL_STATES]), (d % 4 + 1).cast("int")
+    )
+    inst = F.when(
+        d % 5 == 0,
+        F.concat(
+            F.lit("<p>Secretaría de Salud"),
+            (d % 40).cast("string"),
+            F.lit(" de "),
+            state,
+            F.lit(" informó.</p>"),
+        ),
+    ).otherwise(F.lit(""))
+    memb = F.when(
+        d % 7 == 0,
+        F.concat(
+            F.lit("<p>Juan Pérez"),
+            (d % 30).cast("string"),
+            F.lit(", presidente de Grupo Beta"),
+            (d % 15).cast("string"),
+            F.lit(" S.A. encabezó la reunión.</p>"),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.encode(
+        F.concat(
+            F.lit(
+                "<html><head><title>doc</title><script>var x=1;"
+                "</script></head><body><p>hoy "
+            ),
+            surface,
+            F.lit(" anunció resultados."),
+            hot,
+            F.lit("</p>"),
+            inst,
+            memb,
+            F.lit("<p>"),
+            F.col("text"),
+            F.lit("</p></body></html>"),
+        ),
+        "UTF-8",
+    )
+    return docs.select(
+        F.concat(F.lit("https://docs.example.mx/"), d.cast("string")).alias("url"),
+        (
+            F.lit("2025-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(secs=d)
+        ).alias("warc_ts"),
+        html.alias("html"),
+        F.lit(None).cast("string").alias("text"),
+    )
+
+
+def _kg_triples_oracle_sql() -> str:
+    """DuckDB twin of the FULL build_triples plan on the template corpus.
+
+    Stage-for-stage: template text -> MENTION_RE extraction -> slug ->
+    id universe -> char-3-gram shingles -> portable md5 hashes -> affine
+    minhash signatures -> LSH bands (capped buckets) + slug-prefix blocking
+    (capped) -> containment/min-intersect verification -> recursive
+    transitive closure (component-min canonical, the operators/cc contract)
+    -> mentions/type/sameAs triples + MEMBERSHIP_RE memberOf edges + the
+    place-suffix area inference (state dim inlined as VALUES from the same
+    functions/geo constants the Spark dim is built from)."""
+    from ocds_entity_extract_spark.functions.classify import (
+        COMPANY_SUFFIX_SLUG_RE,
+        INSTITUTION_KEYWORDS,
+        _slug_py,
+    )
+    from ocds_entity_extract_spark.functions.geo import MX_STATES, MX_STATE_ALIASES
+    from ocds_entity_extract_spark.operators.linking import (
+        DEFAULT_BAND_SIZE,
+        DEFAULT_CONTAINMENT_THRESHOLD,
+        DEFAULT_MAX_BUCKET,
+        DEFAULT_MIN_INTERSECT,
+        DEFAULT_NUM_HASHES,
+        DEFAULT_PREFIX_LEN,
+    )
+    from ocds_entity_extract_spark.operators.mentions import MEMBERSHIP_RE, MENTION_RE
+
+    kw = ", ".join(f"'{k}'" for k in INSTITUTION_KEYWORDS)
+    sig_ctes, band_selects = _minhash_sig_ctes(
+        "shw", DEFAULT_NUM_HASHES, DEFAULT_BAND_SIZE
+    )
+    state_case = (
+        "CASE CAST(doc_id % 4 AS INT) "
+        + " ".join(
+            f"WHEN {i} THEN '{s}'" for i, s in enumerate(_KG_TPL_STATES[:-1])
+        )
+        + f" ELSE '{_KG_TPL_STATES[-1]}' END"
+    )
+    # state dim VALUES from the same constants mx_state_dim() loads
+    # (canonical rows + alias rows, slug via the same translate table)
+    dim_rows = [(name, code, _slug_py(name)) for name, code in MX_STATES] + [
+        (alias, dict(MX_STATES)[canon], _slug_py(alias))
+        for alias, canon in MX_STATE_ALIASES
+    ]
+    statedim = ", ".join(
+        f"('{n}', '{c}', '{s}')" for n, c, s in dim_rows
+    )
+    slug = lambda e: _SLUG_SQL.format(e=e)  # noqa: E731
+    return rf"""
+    WITH RECURSIVE pages AS (
+      SELECT 'https://docs.example.mx/' || CAST(doc_id AS VARCHAR) AS url,
+             'doc hoy Grupo Alfa' || CAST(doc_id % 50 AS VARCHAR)
+               || (CASE WHEN doc_id % 3 = 0 THEN ' S.A.' ELSE '' END)
+               || ' anunció resultados.'
+               || (CASE WHEN doc_id % 10 = 0
+                   THEN ' También participó Grupo Alfa0 en la sesión.'
+                   ELSE '' END)
+               || (CASE WHEN doc_id % 5 = 0
+                   THEN ' Secretaría de Salud' || CAST(doc_id % 40 AS VARCHAR)
+                        || ' de ' || {state_case} || ' informó.'
+                   ELSE '' END)
+               || (CASE WHEN doc_id % 7 = 0
+                   THEN ' Juan Pérez' || CAST(doc_id % 30 AS VARCHAR)
+                        || ', presidente de Grupo Beta'
+                        || CAST(doc_id % 15 AS VARCHAR)
+                        || ' S.A. encabezó la reunión.'
+                   ELSE '' END)
+               || ' ' || text AS text
+      FROM documents
+    ),
+    norm AS (
+      SELECT url, trim(regexp_replace(text, '\s+', ' ', 'g')) AS text FROM pages
+    ),
+    m AS (
+      SELECT url, unnest(regexp_extract_all(text, '{MENTION_RE}')) AS surface
+      FROM norm
+    ),
+    occ AS (
+      SELECT url, {slug('surface')} AS entity_id FROM m
+      WHERE {slug('surface')} <> ''
+    ),
+    idu AS (SELECT DISTINCT entity_id AS id FROM occ),
+    shw AS (
+      SELECT id, list_distinct([substr(id, i, 3)
+                 for i in range(1, greatest(length(id) - 2, 1) + 1)]) AS shingles
+      FROM idu
+    ),{sig_ctes},
+    bands AS (
+      {band_selects}
+    ),
+    capped AS (
+      SELECT * FROM (
+        SELECT *, count(*) OVER (PARTITION BY band_id, band_hash) AS bsz FROM bands
+      ) WHERE bsz <= {DEFAULT_MAX_BUCKET}
+    ),
+    lshp AS (
+      SELECT DISTINCT a.id AS src, b.id AS dst
+      FROM capped a JOIN capped b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.id < b.id
+    ),
+    pfx AS (
+      SELECT id, substr(id, 1, {DEFAULT_PREFIX_LEN}) AS pfx FROM idu
+      WHERE length(id) >= {DEFAULT_PREFIX_LEN}
+    ),
+    pcap AS (
+      SELECT * FROM (
+        SELECT *, count(*) OVER (PARTITION BY pfx) AS bsz FROM pfx
+      ) WHERE bsz <= {DEFAULT_MAX_BUCKET}
+    ),
+    pfxp AS (
+      SELECT DISTINCT a.id AS src, b.id AS dst
+      FROM pcap a JOIN pcap b ON a.pfx = b.pfx AND a.id < b.id
+    ),
+    cand AS (SELECT src, dst FROM lshp UNION SELECT src, dst FROM pfxp),
+    edges AS (
+      SELECT c.src, c.dst FROM cand c
+      JOIN hsh ha ON ha.id = c.src
+      JOIN hsh hb ON hb.id = c.dst
+      WHERE len(list_intersect(ha.hs, hb.hs)) >= {DEFAULT_MIN_INTERSECT}
+        AND CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+            / least(len(ha.hs), len(hb.hs)) >= {DEFAULT_CONTAINMENT_THRESHOLD}
+    ),
+    sym AS (
+      SELECT src AS a, dst AS b FROM edges
+      UNION ALL
+      SELECT dst AS a, src AS b FROM edges
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+    ),
+    comp AS (
+      SELECT src AS member, least(src, min(dst)) AS canonical
+      FROM reach GROUP BY src
+    ),
+    mapping AS (
+      SELECT i.id AS entity_id, coalesce(c.canonical, i.id) AS canonical_id
+      FROM idu i LEFT JOIN comp c ON c.member = i.id
+    ),
+    ranks AS (
+      SELECT id AS entity_id,
+             CASE WHEN split_part(id, '-', 1) IN ({kw}) THEN 3
+                  WHEN regexp_matches(id, '{COMPANY_SUFFIX_SLUG_RE}') THEN 2
+                  ELSE 1 END AS rnk
+      FROM idu
+    ),
+    crank AS (
+      SELECT mp.canonical_id, max(r.rnk) AS rnk
+      FROM ranks r JOIN mapping mp ON r.entity_id = mp.entity_id
+      GROUP BY mp.canonical_id
+    ),
+    mm AS (
+      SELECT url, unnest(regexp_extract_all(text, '{MEMBERSHIP_RE}')) AS mspan
+      FROM norm
+    ),
+    medges AS (
+      SELECT {slug(f"regexp_extract(mspan, '{MEMBERSHIP_RE}', 1)")} AS person_id,
+             {slug(f"regexp_extract(mspan, '{MEMBERSHIP_RE}', 3)")} AS org_id
+      FROM mm
+    ),
+    statedim(state_name, iso_code, name_slug) AS (VALUES {statedim}),
+    ia AS (
+      SELECT mp.canonical_id, mp.entity_id AS alias_slug
+      FROM mapping mp JOIN crank cr ON mp.canonical_id = cr.canonical_id
+      WHERE cr.rnk = 3
+    ),
+    amatch AS (
+      SELECT ia.canonical_id, sd.state_name
+      FROM ia JOIN statedim sd ON ia.alias_slug LIKE '%-de-' || sd.name_slug
+    ),
+    regions AS (
+      SELECT canonical_id, min(state_name) AS region FROM amatch
+      GROUP BY canonical_id
+    ),
+    rcode AS (
+      SELECT r.canonical_id,
+             coalesce(sd2.iso_code, 'MX-' || {slug('r.region')}) AS state_code
+      FROM regions r
+      LEFT JOIN statedim sd2 ON sd2.name_slug = {slug('r.region')}
+    )
+    SELECT subj, pred, obj FROM (
+      SELECT DISTINCT o.url AS subj, 'mentions' AS pred, mp.canonical_id AS obj
+      FROM occ o JOIN mapping mp ON o.entity_id = mp.entity_id
+      UNION ALL
+      SELECT canonical_id AS subj, 'type' AS pred,
+             CASE rnk WHEN 3 THEN 'institution'
+                      WHEN 2 THEN 'company' ELSE 'person' END AS obj
+      FROM crank
+      UNION ALL
+      SELECT entity_id AS subj, 'sameAs' AS pred, canonical_id AS obj
+      FROM mapping WHERE entity_id <> canonical_id
+      UNION ALL
+      SELECT DISTINCT p.canonical_id AS subj, 'memberOf' AS pred,
+             o2.canonical_id AS obj
+      FROM medges e
+      JOIN mapping p ON e.person_id = p.entity_id
+      JOIN mapping o2 ON e.org_id = o2.entity_id
+      WHERE e.person_id <> '' AND e.org_id <> ''
+      UNION ALL
+      SELECT subj, pred, obj FROM (
+        SELECT canonical_id AS subj, 'inArea' AS pred, state_code AS obj
+        FROM rcode
+        UNION
+        SELECT state_code AS subj, 'partOf' AS pred, 'mx' AS obj FROM rcode
+      )
+    )
+    """
+
+
+@query("kg_pipeline_triples", _kg_triples_oracle_sql())
+def q_kg_pipeline_triples(spark, sf_dir):
+    """THE flagship chain end-to-end under the full value-hash gate:
+    documents -> template pages -> real build_triples (fused pandas-UDF
+    extraction, dictionary-encoded classify, merge, MinHash-LSH linking,
+    connected components, membership + area edges, triple assembly) — the
+    exact plan `entry()` runs, compared triple-for-triple against the
+    DuckDB twin in _kg_triples_oracle_sql."""
+    from ocds_entity_extract_spark.plans.pipeline import build_triples
+
+    docs = _t(spark, sf_dir, "documents")
+    return build_triples(spark, _kg_template_pages(docs)).triples
