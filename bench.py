@@ -39,6 +39,7 @@ HEADLINE = [
     "multimodal_decode_stub",
     "dedup_clusters",
     "kg_merged_entities",
+    "kg_pipeline_triples",
     "events_sessionize",
 ]
 

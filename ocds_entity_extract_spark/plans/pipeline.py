@@ -14,10 +14,13 @@ Stage graph (≙ reference lifecycle, SURVEY.md §3.4/§3.5):
        under 1M edges, alternating-star joins above)
     └─ triple assembly (unions, distinct)                  [stage 7]
 
-Only stages 4-6 shuffle. Two cached intermediates, both far smaller than
-pages: `spans` (feeds the mention and membership branches — without it the
-pandas-UDF extraction would run once per consumer) and `mentions` (three
-consumers: merge, linking, assembly). At cluster scale swap cache() for
+Only stages 4-6 shuffle. The cached intermediates are all far smaller than
+pages: `spans` (feeds the mention, membership and contact branches —
+without it the pandas-UDF extraction would run once per consumer), the
+surface `dim`, and the canonical `mapping`. The O(mentions) stream itself
+is deliberately NOT cached — each consumer rebuilds it with a narrow
+explode + broadcast probe over the cached spans (see the note at the
+mentions binding below). At cluster scale swap cache() for
 persist(DISK_ONLY) or a materialized intermediate table.
 
 Emitted predicates (≙ the reference's six entity kinds + membership edges,
@@ -110,9 +113,17 @@ def build_triples(
         use_broadcast = dim_count <= max_broadcast_surfaces
     else:
         use_broadcast = False
+    # NOTE: the mention stream is deliberately NOT cached. It is the one
+    # corpus-sized intermediate (O(mentions) rows), and every consumer can
+    # rebuild it with a narrow explode + broadcast probe over the CACHED
+    # spans table — recomputing that is cheaper than serializing ~the
+    # corpus into executor storage and reading it back (phase-split
+    # measurement at 4M pages showed the post-extraction phase shuffle/
+    # cache-bound and inversely scaling 8->32 cores; the mention-stream
+    # cache write was the largest single memory-traffic term). At cluster
+    # scale the same argument says "rebuild from the spans table" beats
+    # "persist the mention stream".
     mentions = mentions_via_dim(spans, dim, broadcast=use_broadcast)
-    if cache_intermediates:
-        mentions = mentions.cache()
 
     if salted_merge:
         from ocds_entity_extract_spark.operators.merge import merge_entities_salted
@@ -141,7 +152,11 @@ def build_triples(
         )
 
         slugs = [r["entity_id"] for r in ids.distinct().collect()]
-        mapping = linking_mapping_driver_side(spark, slugs)
+        # bounded by max_driver_linking rows -> always broadcastable: the
+        # hint turns every downstream mapping join (canon mentions, type
+        # rank, membership x2, contacts) into a map-side probe instead of
+        # a shuffle of the corpus-sized mention stream
+        mapping = F.broadcast(linking_mapping_driver_side(spark, slugs))
     else:
         edges = verified_edges(ids)
         mapping = canonical_mapping(ids, edges)
@@ -149,14 +164,18 @@ def build_triples(
         mapping = mapping.cache()
 
     # --- triple assembly (canonical ids everywhere) ---
+    # distinct BEFORE adding the constant pred column: the dedup shuffle
+    # (the pipeline's one corpus-sized exchange) carries two narrow
+    # columns, not a per-row literal
     canon_mentions = (
         mentions.join(mapping, "entity_id")
+        .select("url", "canonical_id")
+        .distinct()
         .select(
             F.col("url").alias("subj"),
             F.lit("mentions").alias("pred"),
             F.col("canonical_id").alias("obj"),
         )
-        .distinct()
     )
 
     # component-level type: max precedence across ALL mentions of the
