@@ -48,6 +48,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ocds_entity_extract_spark import queries as _q          # noqa: F401
+    from ocds_entity_extract_spark import queries_analytics as _qa  # noqa: F401
     from ocds_entity_extract_spark import queries_ml as _qml     # noqa: F401
     from ocds_entity_extract_spark.queries import SPARK_QUERIES
 
@@ -56,6 +57,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from ocds_entity_extract_spark import queries as _q          # noqa: F401
+    from ocds_entity_extract_spark import queries_analytics as _qa  # noqa: F401
     from ocds_entity_extract_spark import queries_ml as _qml     # noqa: F401
     from ocds_entity_extract_spark.queries import ORACLE_SQL
 

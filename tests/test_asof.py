@@ -1,0 +1,108 @@
+"""As-of / range-join operator semantics (operators/asof.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from ocds_entity_extract_spark.operators.asof import asof_join, range_join_binned
+
+
+def _ts(h, m=0, s=0):
+    return dt.datetime(2024, 1, 1, h, m, s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts(10)),   # after first purchase
+            (2, 10, _ts(12)),   # after second
+            (3, 10, _ts(9)),    # before any purchase -> null
+            (4, 10, _ts(11)),   # EXACTLY at a purchase ts -> inclusive
+            (5, 20, _ts(10)),   # user with no purchases at all -> null
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts(9, 30), 5.0),
+            (10, _ts(11), 7.0),
+        ],
+        "user_id long, ts timestamp, pvalue double",
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive_and_nulls(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="ts",
+        payload=["pvalue"], matched_ts_col="pts",
+    )
+    got = {r["event_id"]: (r["pvalue"], r["pts"]) for r in out.collect()}
+    assert got[1] == (5.0, _ts(9, 30))
+    assert got[2] == (7.0, _ts(11))
+    assert got[3] == (None, None)
+    assert got[4] == (7.0, _ts(11))      # tie is inclusive
+    assert got[5] == (None, None)
+    assert out.count() == left.count()   # left-join semantics
+
+
+def test_asof_preserves_left_columns(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, key="user_id", left_ts="ts", right_ts="ts")
+    assert set(out.columns) == {"event_id", "user_id", "ts", "pvalue"}
+
+
+def test_range_join_binned_matches_inequality_join(spark):
+    left = spark.createDataFrame(
+        [(1, 1, _ts(10)), (2, 1, _ts(12, 30)), (3, 2, _ts(10))],
+        "sid long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts(10, 0, 1), 1.0),    # in window of sid=1
+            (1, _ts(10, 59, 59), 2.0),  # in window (end-exclusive check below)
+            (1, _ts(11, 0, 0), 3.0),    # exactly +1h -> EXCLUDED
+            (1, _ts(12, 45), 4.0),      # in window of sid=2
+            (2, _ts(9, 59, 59), 5.0),   # before -> excluded
+            (2, _ts(10), 6.0),          # exactly at start -> INCLUDED
+        ],
+        "user_id long, cts timestamp, value double",
+    )
+    out = range_join_binned(
+        left, right, key="user_id", left_ts="ts", right_ts="cts",
+        window_seconds=3600,
+    )
+    got = sorted((r["sid"], r["value"]) for r in out.collect())
+    assert got == [(1, 1.0), (1, 2.0), (2, 4.0), (3, 6.0)]
+
+    # brute-force twin (inequality join) agrees
+    brute = (
+        left.alias("l")
+        .join(right.alias("r"), "user_id")
+        .filter(
+            (F.col("r.cts") >= F.col("l.ts"))
+            & (F.col("r.cts") < F.col("l.ts") + F.expr("INTERVAL 1 HOUR"))
+        )
+    )
+    assert sorted((r["sid"], r["value"]) for r in brute.collect()) == got
+
+
+def test_range_join_finer_bins_same_result(spark):
+    left = spark.createDataFrame(
+        [(1, 1, _ts(10, 17))], "sid long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(10, 40), 1.0), (1, _ts(11, 10), 2.0), (1, _ts(11, 20), 3.0)],
+        "user_id long, cts timestamp, value double",
+    )
+    # window is [10:17, 11:17): 10:40 and 11:10 in, 11:20 out — for every
+    # bin granularity (bins only pre-filter; the exact predicate decides)
+    for bin_seconds in (3600, 1200):
+        out = range_join_binned(
+            left, right, key="user_id", left_ts="ts", right_ts="cts",
+            window_seconds=3600, bin_seconds=bin_seconds,
+        )
+        assert sorted(r["value"] for r in out.collect()) == [1.0, 2.0]
