@@ -39,6 +39,8 @@ def main() -> None:
         f.stat().st_size for f in pathlib.Path(path).glob("*.parquet")
     )
     split = max(1 << 20, corpus_bytes // (cores * 4))
+    # core-scaled AQE advisory — same rationale as pipeline_job.py
+    advisory = max(4 << 20, corpus_bytes // (cores * 8))
     spark = get_spark(
         app_name=f"phase-{cores}",
         master=f"local[{cores}]",
@@ -46,6 +48,7 @@ def main() -> None:
         extra_conf={
             "spark.sql.files.maxPartitionBytes": str(split),
             "spark.sql.files.openCostInBytes": str(128 * 1024),
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(advisory),
         },
     )
     spark.range(1_000_000).selectExpr("sum(id)").collect()

@@ -77,6 +77,14 @@ def main() -> None:
         f.stat().st_size for f in pathlib.Path(path).glob("*.parquet")
     )
     split = max(1 << 20, corpus_bytes // (cores * 4))
+    # AQE's coalesce target must also scale with cores: a FIXED advisory
+    # partition size caps reduce-side parallelism at shuffle_bytes/advisory
+    # partitions no matter how many cores exist — at 32 cores the default
+    # 16 MB left the big mention-distinct shuffle on ~17 reducers (half the
+    # box idle; measured 21.5s -> 17.7s post-extraction phase at 2M pages
+    # by moving to 4 MB). Scale it as ~corpus/(8*cores), floored at 4 MB
+    # (2 MB measured WORSE — per-partition overhead wins below that).
+    advisory = max(4 << 20, corpus_bytes // (cores * 8))
     spark = get_spark(
         app_name=f"scaling-{cores}",
         master=f"local[{cores}]",
@@ -84,6 +92,7 @@ def main() -> None:
         extra_conf={
             "spark.sql.files.maxPartitionBytes": str(split),
             "spark.sql.files.openCostInBytes": str(128 * 1024),
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(advisory),
         },
     )
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
