@@ -348,6 +348,66 @@ def q_hypertable_rollup(spark, sf_dir):
 
 
 # =====================================================================
+# Structured Streaming under the value-hash gate
+# =====================================================================
+
+@query(
+    "streaming_hourly_counts",
+    f"""
+    SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS hour_ts,
+           event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_streaming_hourly_counts(spark, sf_dir):
+    """Windowed streaming aggregation, drained with trigger(availableNow)
+    and compared value-for-value against the batch oracle — the
+    batch/stream unification guarantee (same DataFrame surface, same
+    results) checked by the driver gate, not just by pytest.
+
+    The watermark bounds aggregation state for unbounded streams; with an
+    availableNow drain over a bounded source it never discards data, so
+    the result must equal the batch GROUP BY. File-stream sources require
+    a DIRECTORY, so the single-file test table is exposed through a
+    symlinked temp dir (a real deployment streams a directory/Kafka topic
+    anyway)."""
+    import hashlib
+    import pathlib
+
+    src = pathlib.Path(sf_dir) / "events.parquet"
+    key = hashlib.md5(str(src).encode()).hexdigest()[:10]
+    d = pathlib.Path(f"/tmp/sg_stream_{key}/events")
+    d.mkdir(parents=True, exist_ok=True)
+    link = d / "events.parquet"
+    if not link.is_symlink():
+        link.symlink_to(src)
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string"
+    ).parquet(str(d))
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    sink = f"q_stream_hourly_{key}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).select(
+        F.date_format("w.start", TS_FMT_SPARK).alias("hour_ts"),
+        "event_type",
+        "n",
+    )
+
+
+# =====================================================================
 # sliding-window aggregation (moving average)
 # =====================================================================
 
