@@ -348,6 +348,36 @@ def q_hypertable_rollup(spark, sf_dir):
 
 
 # =====================================================================
+# percentile / quantile profiling
+# =====================================================================
+
+@query(
+    "value_percentiles",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont(value, 0.5), 2) AS p50,
+           round(quantile_cont(value, 0.9), 2) AS p90,
+           round(quantile_cont(value, 0.99), 2) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def q_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, verified value-for-value). At 100 TB swap for
+    `percentile_approx` (t-digest sketch, mergeable partial aggregation);
+    the exact version is the oracle-checkable twin that bounds the
+    sketch's error."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.percentile("value", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 2).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 2).alias("p99"),
+    )
+
+
+# =====================================================================
 # Structured Streaming under the value-hash gate
 # =====================================================================
 
