@@ -348,6 +348,91 @@ def q_hypertable_rollup(spark, sf_dir):
 
 
 # =====================================================================
+# end-to-end corpus curation (quality -> dedup -> split)
+# =====================================================================
+
+@query(
+    "corpus_curation",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang, n_chars,
+             len(string_split_regex(text, '\\s+')) AS n_tokens,
+             sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+      FROM documents
+    ),
+    filtered AS (
+      SELECT * FROM scored
+      WHERE n_tokens >= 20 AND CAST(n_chars AS DOUBLE) / n_tokens <= 12
+    ),
+    deduped AS (
+      SELECT * FROM filtered
+      QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+    )
+    SELECT CASE
+             WHEN {portable_hash64_sql("'split:' || CAST(doc_id AS VARCHAR)")}
+                  % 100 < 90 THEN 'train'
+             ELSE 'holdout'
+           END AS split,
+           lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM deduped
+    GROUP BY 1, 2
+    """,
+)
+def q_corpus_curation(spark, sf_dir):
+    """The full training-corpus curation chain as ONE plan: quality
+    filter (token count + chars/token) -> exact near-identity dedup
+    (normalized sha256 fingerprint, min-doc_id winner) -> deterministic
+    hash split -> per-(split, lang) accounting.
+
+    Plan shape at 100 TB: the filter and fingerprint are scan-local; the
+    dedup is the only corpus-sized shuffle (partial-aggregated on the
+    fingerprint); the split/accounting agg rides the tiny dedup output.
+    Every stage reuses the operators verified individually
+    (quality_scores, doc_fingerprints, dataset_split) — this query pins
+    their COMPOSITION under one value hash."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), r"\s+")).cast("bigint")
+    from ocds_entity_extract_spark.functions.text import collapse_ws
+
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        n_tok.alias("n_tokens"),
+        F.sha2(F.lower(collapse_ws("text")), 256).alias("fp"),
+    )
+    filtered = scored.filter(
+        (F.col("n_tokens") >= 20)
+        & (F.col("n_chars").cast("double") / F.col("n_tokens") <= 12)
+    )
+    deduped = (
+        filtered.withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")),
+        )
+        .filter(F.col("_rn") == 1)
+    )
+    split = F.when(
+        F.pmod(
+            portable_hash64(
+                F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+            ),
+            F.lit(100),
+        )
+        < 90,
+        F.lit("train"),
+    ).otherwise(F.lit("holdout"))
+    return deduped.groupBy(split.alias("split"), "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
+# =====================================================================
 # percentile / quantile profiling
 # =====================================================================
 
