@@ -106,3 +106,54 @@ def test_range_join_finer_bins_same_result(spark):
             window_seconds=3600, bin_seconds=bin_seconds,
         )
         assert sorted(r["value"] for r in out.collect()) == [1.0, 2.0]
+
+
+# --- property-based: asof_join == brute-force correlated lookup ---------
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+
+@settings(
+    max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=25
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.floats(0, 100)),
+        min_size=0,
+        max_size=25,
+    ),
+)
+def test_asof_matches_bruteforce(spark, lefts, rights):
+    """For ANY (key, ts) streams: asof payload == max-right-ts-at-or-before
+    lookup computed brute-force in Python."""
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, k, base + dt.timedelta(minutes=m)) for i, (k, m) in enumerate(lefts)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    # dedupe right to one row per (key, ts) — the operator's contract
+    rdedup = {}
+    for k, m, v in rights:
+        rdedup[(k, m)] = max(v, rdedup.get((k, m), float("-inf")))
+    right = spark.createDataFrame(
+        [
+            (k, base + dt.timedelta(minutes=m), v)
+            for (k, m), v in sorted(rdedup.items())
+        ],
+        "user_id long, ts timestamp, pvalue double",
+    ) if rdedup else spark.createDataFrame([], "user_id long, ts timestamp, pvalue double")
+
+    out = asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="ts",
+        payload=["pvalue"],
+    )
+    got = {r["event_id"]: r["pvalue"] for r in out.collect()}
+
+    want = {}
+    for i, (k, m) in enumerate(lefts):
+        cands = [(rm, v) for (rk, rm), v in rdedup.items() if rk == k and rm <= m]
+        want[i] = max(cands)[1] if cands else None
+    assert got == want
