@@ -348,6 +348,68 @@ def q_hypertable_rollup(spark, sf_dir):
 
 
 # =====================================================================
+# iterative PageRank (fixed-point, bit-identical across engines)
+# =====================================================================
+
+_PAGERANK_EDGES_CTE = """
+    SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+           's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    UNION
+    SELECT 's' || CAST(l.l_suppkey AS VARCHAR) AS src,
+           'c' || CAST(o.o_custkey AS VARCHAR) AS dst
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+"""
+
+_PAGERANK_ITERS = 8
+
+
+def _pagerank_oracle_sql() -> str:
+    from ocds_entity_extract_spark.operators.graph import pagerank_sql_unrolled
+
+    return (
+        pagerank_sql_unrolled(_PAGERANK_EDGES_CTE, _PAGERANK_ITERS)
+        + f"\nSELECT node, rank_int FROM r{_PAGERANK_ITERS} WHERE rank_int >"
+        " (SELECT r_init FROM nn)"
+    )
+
+
+@query("pagerank_copurchase", _pagerank_oracle_sql())
+def q_pagerank_copurchase(spark, sf_dir):
+    """PageRank over the customer<->supplier co-purchase graph — the
+    iterative-DataFrame-join pattern (driver loop + localCheckpoint
+    lineage truncation, same machinery as the CC operator) under the
+    value-hash gate: fixed-point BIGINT arithmetic makes all 8 iterations
+    bit-identical between Spark and the DuckDB unrolled-CTE twin. Output
+    filtered to above-initial-rank nodes (the salient ones)."""
+    from ocds_entity_extract_spark.operators.graph import pagerank_fixed_point
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+    )
+    edges = (
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    )
+    ranks = pagerank_fixed_point(edges, iterations=_PAGERANK_ITERS)
+    n_nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .count()
+    )
+    from ocds_entity_extract_spark.operators.graph import DEFAULT_SCALE
+
+    return ranks.filter(F.col("rank_int") > DEFAULT_SCALE // n_nodes)
+
+
+# =====================================================================
 # end-to-end corpus curation (quality -> dedup -> split)
 # =====================================================================
 

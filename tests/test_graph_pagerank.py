@@ -1,0 +1,48 @@
+"""PageRank fixed-point operator semantics (operators/graph.py).
+
+Value-level cross-engine parity is pinned by q:pagerank_copurchase's
+DuckDB oracle; these tests pin the operator-level invariants.
+"""
+
+from __future__ import annotations
+
+from ocds_entity_extract_spark.operators.graph import (
+    DEFAULT_SCALE,
+    pagerank_fixed_point,
+)
+
+
+def _star_edges(spark):
+    # hub h <-> spokes a,b,c (symmetric)
+    rows = []
+    for s in ["a", "b", "c"]:
+        rows += [("h", s), (s, "h")]
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
+def test_hub_outranks_spokes(spark):
+    ranks = {
+        r["node"]: r["rank_int"]
+        for r in pagerank_fixed_point(_star_edges(spark), iterations=6).collect()
+    }
+    assert ranks["h"] > ranks["a"] == ranks["b"] == ranks["c"]
+
+
+def test_rank_mass_conserved_within_rounding(spark):
+    ranks = pagerank_fixed_point(_star_edges(spark), iterations=6).collect()
+    total = sum(r["rank_int"] for r in ranks)
+    # integer floors lose < 1 unit per node per division; teleport exact
+    assert 0.999 * DEFAULT_SCALE < total <= DEFAULT_SCALE
+
+
+def test_partitioning_invariance(spark):
+    e = _star_edges(spark)
+    a = {
+        r["node"]: r["rank_int"]
+        for r in pagerank_fixed_point(e, iterations=5).collect()
+    }
+    b = {
+        r["node"]: r["rank_int"]
+        for r in pagerank_fixed_point(e.repartition(7), iterations=5).collect()
+    }
+    assert a == b
