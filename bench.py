@@ -41,6 +41,8 @@ HEADLINE = [
     "kg_merged_entities",
     "kg_pipeline_triples",
     "events_sessionize",
+    "asof_join_events",
+    "corpus_curation",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "60000"))

@@ -152,16 +152,20 @@ def build_triples(
         )
 
         slugs = [r["entity_id"] for r in ids.distinct().collect()]
+        mapping_plain = linking_mapping_driver_side(spark, slugs)
         # bounded by max_driver_linking rows -> always broadcastable: the
-        # hint turns every downstream mapping join (canon mentions, type
+        # hint turns every downstream mapping JOIN (canon mentions, type
         # rank, membership x2, contacts) into a map-side probe instead of
-        # a shuffle of the corpus-sized mention stream
-        mapping = F.broadcast(linking_mapping_driver_side(spark, slugs))
+        # a shuffle of the corpus-sized mention stream. Non-join consumers
+        # (the sameAs filter below) read the UNHINTED frame so the hint
+        # never dangles on a non-join relation.
+        mapping = F.broadcast(mapping_plain)
     else:
         edges = verified_edges(ids)
-        mapping = canonical_mapping(ids, edges)
+        mapping_plain = canonical_mapping(ids, edges)
+        mapping = mapping_plain
     if cache_intermediates:
-        mapping = mapping.cache()
+        mapping_plain = mapping_plain.cache()
 
     # --- triple assembly (canonical ids everywhere) ---
     # Dedup at the NARROWEST point first: duplicate (url, entity) pairs are
@@ -245,7 +249,7 @@ def build_triples(
         )
 
     sameas = (
-        mapping.filter(F.col("entity_id") != F.col("canonical_id"))
+        mapping_plain.filter(F.col("entity_id") != F.col("canonical_id"))
         .select(
             F.col("entity_id").alias("subj"),
             F.lit("sameAs").alias("pred"),
