@@ -157,3 +157,28 @@ def test_asof_matches_bruteforce(spark, lefts, rights):
         cands = [(rm, v) for (rk, rm), v in rdedup.items() if rk == k and rm <= m]
         want[i] = max(cands)[1] if cands else None
     assert got == want
+
+
+def test_plans_have_no_nested_loop(spark):
+    """The whole point of both operators: neither ever plans a
+    BroadcastNestedLoopJoin/CartesianProduct (what a raw inequality join
+    would give), and asof pays exactly ONE exchange (the window)."""
+    left, right = _frames(spark)
+    asof_plan = asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="ts"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in asof_plan
+    assert "CartesianProduct" not in asof_plan
+    assert asof_plan.count("Exchange") == 1, asof_plan
+
+    l2 = spark.createDataFrame(
+        [(1, 1, _ts(10))], "sid long, user_id long, ts timestamp"
+    )
+    r2 = spark.createDataFrame(
+        [(1, _ts(10, 30), 1.0)], "user_id long, cts timestamp, value double"
+    )
+    range_plan = range_join_binned(
+        l2, r2, key="user_id", left_ts="ts", right_ts="cts", window_seconds=3600
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in range_plan
+    assert "CartesianProduct" not in range_plan
