@@ -16,7 +16,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ocds_entity_extract_spark.functions.text import collapse_ws, simple_name
-from ocds_entity_extract_spark.queries import ORACLE_SQL, SPARK_QUERIES, _t, query
+from ocds_entity_extract_spark.queries import (
+    ORACLE_SQL,
+    SPARK_QUERIES,
+    TS_FMT_SPARK,
+    _t,
+    query,
+)
 
 
 # vector helpers live in functions/vectors.py (imported by similarity.py
@@ -1520,3 +1526,343 @@ def q_kg_pipeline_triples(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return build_triples(spark, _kg_template_pages(docs)).triples
+
+
+def _kg_entities_oracle_sql() -> str:
+    """DuckDB twin of the flagship ENTITY-DOCUMENT assembly on the template
+    corpus (plans/documents.entity_documents over the full build_triples
+    result): merged per-entity aggregates -> LSH+closure canonical mapping
+    -> canonical-group name/other_names/identifiers/counters -> membership
+    role buckets + parent/member counts -> subclassification chain + gov
+    level. Shares the template/page/linking CTE text with
+    _kg_triples_oracle_sql (same constants, same hash family)."""
+    from ocds_entity_extract_spark.functions.classify import (
+        COMPANY_SUFFIX_SLUG_RE,
+        INSTITUTION_KEYWORDS,
+        _slug_py,
+    )
+    from ocds_entity_extract_spark.functions.geo import MX_STATES, MX_STATE_ALIASES
+    from ocds_entity_extract_spark.operators.linking import (
+        DEFAULT_BAND_SIZE,
+        DEFAULT_CONTAINMENT_THRESHOLD,
+        DEFAULT_MAX_BUCKET,
+        DEFAULT_MIN_INTERSECT,
+        DEFAULT_NUM_HASHES,
+        DEFAULT_PREFIX_LEN,
+    )
+    from ocds_entity_extract_spark.operators.mentions import MEMBERSHIP_RE, MENTION_RE
+    from ocds_entity_extract_spark.queries import TS_FMT_DUCK
+
+    kw = ", ".join(f"'{k}'" for k in INSTITUTION_KEYWORDS)
+    kw_nobanco = ", ".join(
+        f"'{k}'" for k in INSTITUTION_KEYWORDS if k != "banco"
+    )
+    sig_ctes, band_selects = _minhash_sig_ctes(
+        "shw", DEFAULT_NUM_HASHES, DEFAULT_BAND_SIZE
+    )
+    state_case = (
+        "CASE CAST(doc_id % 4 AS INT) "
+        + " ".join(
+            f"WHEN {i} THEN '{s}'" for i, s in enumerate(_KG_TPL_STATES[:-1])
+        )
+        + f" ELSE '{_KG_TPL_STATES[-1]}' END"
+    )
+    dim_rows = [(name, code, _slug_py(name)) for name, code in MX_STATES] + [
+        (alias, dict(MX_STATES)[canon], _slug_py(alias))
+        for alias, canon in MX_STATE_ALIASES
+    ]
+    statedim = ", ".join(f"('{n}', '{c}', '{s}')" for n, c, s in dim_rows)
+    slug = lambda e: _SLUG_SQL.format(e=e)  # noqa: E731
+    return rf"""
+    WITH RECURSIVE pages AS (
+      SELECT 'https://docs.example.mx/' || CAST(doc_id AS VARCHAR) AS url,
+             TIMESTAMP '2025-01-01 00:00:00'
+               + doc_id * INTERVAL 1 SECOND AS warc_ts,
+             'doc hoy Grupo Alfa' || CAST(doc_id % 50 AS VARCHAR)
+               || (CASE WHEN doc_id % 3 = 0 THEN ' S.A.' ELSE '' END)
+               || ' anunció resultados.'
+               || (CASE WHEN doc_id % 10 = 0
+                   THEN ' También participó Grupo Alfa0 en la sesión.'
+                   ELSE '' END)
+               || (CASE WHEN doc_id % 5 = 0
+                   THEN ' Secretaría de Salud' || CAST(doc_id % 40 AS VARCHAR)
+                        || ' de ' || {state_case} || ' informó.'
+                   ELSE '' END)
+               || (CASE WHEN doc_id % 7 = 0
+                   THEN ' Juan Pérez' || CAST(doc_id % 30 AS VARCHAR)
+                        || ', presidente de Grupo Beta'
+                        || CAST(doc_id % 15 AS VARCHAR)
+                        || ' S.A. encabezó la reunión.'
+                   ELSE '' END)
+               || ' ' || text AS text
+      FROM documents
+    ),
+    norm AS (
+      SELECT url, warc_ts,
+             trim(regexp_replace(text, '\s+', ' ', 'g')) AS text
+      FROM pages
+    ),
+    m AS (
+      SELECT url, warc_ts,
+             unnest(regexp_extract_all(text, '{MENTION_RE}')) AS surface
+      FROM norm
+    ),
+    feat AS (
+      SELECT url, warc_ts,
+             regexp_replace(trim(surface), '\s+', ' ', 'g') AS name_norm,
+             {slug('surface')} AS entity_id,
+             regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS domain
+      FROM m
+    ),
+    typed AS (
+      SELECT *,
+             CASE WHEN split_part(entity_id, '-', 1) IN ({kw}) THEN 3
+                  WHEN regexp_matches(entity_id, '{COMPANY_SUFFIX_SLUG_RE}') THEN 2
+                  ELSE 1 END AS rank
+      FROM feat WHERE entity_id <> ''
+    ),
+    rankedocc AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY entity_id ORDER BY warc_ts, url, name_norm
+      ) AS rn
+      FROM typed
+    ),
+    ent AS (
+      SELECT entity_id,
+             max(CASE WHEN rn = 1 THEN name_norm END) AS name,
+             max(rank) AS rank,
+             CAST(count(*) AS BIGINT) AS mention_count,
+             CAST(count(DISTINCT url) AS BIGINT) AS page_count,
+             min(warc_ts) AS first_seen,
+             max(warc_ts) AS last_seen,
+             list_distinct(list(name_norm)) AS names,
+             list_distinct(list(domain)) AS sources
+      FROM rankedocc GROUP BY entity_id
+    ),
+    idu AS (SELECT entity_id AS id FROM ent),
+    shw AS (
+      SELECT id, list_distinct([substr(id, i, 3)
+                 for i in range(1, greatest(length(id) - 2, 1) + 1)]) AS shingles
+      FROM idu
+    ),{sig_ctes},
+    bands AS (
+      {band_selects}
+    ),
+    capped AS (
+      SELECT * FROM (
+        SELECT *, count(*) OVER (PARTITION BY band_id, band_hash) AS bsz FROM bands
+      ) WHERE bsz <= {DEFAULT_MAX_BUCKET}
+    ),
+    lshp AS (
+      SELECT DISTINCT a.id AS src, b.id AS dst
+      FROM capped a JOIN capped b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.id < b.id
+    ),
+    pfx AS (
+      SELECT id, substr(id, 1, {DEFAULT_PREFIX_LEN}) AS pfx FROM idu
+      WHERE length(id) >= {DEFAULT_PREFIX_LEN}
+    ),
+    pcap AS (
+      SELECT * FROM (
+        SELECT *, count(*) OVER (PARTITION BY pfx) AS bsz FROM pfx
+      ) WHERE bsz <= {DEFAULT_MAX_BUCKET}
+    ),
+    pfxp AS (
+      SELECT DISTINCT a.id AS src, b.id AS dst
+      FROM pcap a JOIN pcap b ON a.pfx = b.pfx AND a.id < b.id
+    ),
+    cand AS (SELECT src, dst FROM lshp UNION SELECT src, dst FROM pfxp),
+    edges AS (
+      SELECT c.src, c.dst FROM cand c
+      JOIN hsh ha ON ha.id = c.src
+      JOIN hsh hb ON hb.id = c.dst
+      WHERE len(list_intersect(ha.hs, hb.hs)) >= {DEFAULT_MIN_INTERSECT}
+        AND CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+            / least(len(ha.hs), len(hb.hs)) >= {DEFAULT_CONTAINMENT_THRESHOLD}
+    ),
+    sym AS (
+      SELECT src AS a, dst AS b FROM edges
+      UNION ALL
+      SELECT dst AS a, src AS b FROM edges
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+    ),
+    comp AS (
+      SELECT src AS member, least(src, min(dst)) AS canonical
+      FROM reach GROUP BY src
+    ),
+    mapping AS (
+      SELECT i.id AS entity_id, coalesce(c.canonical, i.id) AS canonical_id
+      FROM idu i LEFT JOIN comp c ON c.member = i.id
+    ),
+    cranked AS (
+      SELECT e.*, mp.canonical_id,
+             row_number() OVER (
+               PARTITION BY mp.canonical_id ORDER BY e.first_seen, e.entity_id
+             ) AS crn
+      FROM ent e JOIN mapping mp ON e.entity_id = mp.entity_id
+    ),
+    canon AS (
+      SELECT canonical_id,
+             max(CASE WHEN crn = 1 THEN name END) AS name,
+             max(rank) AS rank,
+             list_sort(list_distinct(flatten(list(names)))) AS all_names,
+             list_sort(list(entity_id)) AS alias_slugs,
+             max(nullif(regexp_extract(entity_id,
+                                       '{COMPANY_SUFFIX_SLUG_RE}', 1), ''))
+               AS subtype,
+             CAST(sum(mention_count) AS BIGINT) AS mentions,
+             CAST(sum(page_count) AS BIGINT) AS pages,
+             min(first_seen) AS first_seen,
+             max(last_seen) AS last_seen,
+             list_sort(list_distinct(flatten(list(sources)))) AS sources
+      FROM cranked GROUP BY canonical_id
+    ),
+    mm AS (
+      SELECT url, unnest(regexp_extract_all(text, '{MEMBERSHIP_RE}')) AS mspan
+      FROM norm
+    ),
+    medges0 AS (
+      SELECT url,
+             {slug(f"regexp_extract(mspan, '{MEMBERSHIP_RE}', 1)")} AS person_id,
+             regexp_extract(mspan, '{MEMBERSHIP_RE}', 2) AS role,
+             {slug(f"regexp_extract(mspan, '{MEMBERSHIP_RE}', 3)")} AS org_id
+      FROM mm
+    ),
+    medges AS (
+      SELECT m0.url, p.canonical_id AS member_canon, m0.role,
+             o2.canonical_id AS org_canon
+      FROM medges0 m0
+      JOIN mapping p ON m0.person_id = p.entity_id
+      JOIN mapping o2 ON m0.org_id = o2.entity_id
+      WHERE m0.person_id <> '' AND m0.org_id <> ''
+    ),
+    as_member AS (
+      SELECT member_canon AS canonical_id,
+             CAST(sum(CASE WHEN role IN ('director general', 'directora general')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_director_general,
+             CAST(sum(CASE WHEN role = 'titular' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_titular,
+             CAST(sum(CASE WHEN role IN ('presidente', 'presidenta')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_presidente,
+             CAST(sum(CASE WHEN role = 'gerente' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_gerente,
+             min(CASE WHEN org_canon <> member_canon THEN org_canon END)
+               AS parent_id
+      FROM medges GROUP BY member_canon
+    ),
+    as_parent AS (
+      SELECT org_canon AS canonical_id,
+             CAST(count(DISTINCT member_canon) AS BIGINT) AS member_count
+      FROM medges GROUP BY org_canon
+    ),
+    statedim(state_name, iso_code, name_slug) AS (VALUES {statedim}),
+    ia AS (
+      SELECT c2.canonical_id, mp.entity_id AS alias_slug
+      FROM canon c2 JOIN mapping mp ON mp.canonical_id = c2.canonical_id
+      WHERE c2.rank = 3
+    ),
+    amatch AS (
+      SELECT ia.canonical_id, sd.state_name
+      FROM ia JOIN statedim sd ON ia.alias_slug LIKE '%-de-' || sd.name_slug
+    ),
+    regions AS (
+      SELECT canonical_id, 'region' AS region_gov FROM amatch
+      GROUP BY canonical_id
+    )
+    SELECT c.canonical_id AS id,
+           c.name,
+           CASE c.rank WHEN 3 THEN 'institution'
+                       WHEN 2 THEN 'company' ELSE 'person' END AS entity_type,
+           coalesce(
+             CASE WHEN c.rank = 3 THEN
+               CASE WHEN split_part(c.canonical_id, '-', 1) = 'banco' THEN 'banco'
+                    WHEN split_part(c.canonical_id, '-', 1) IN ({kw_nobanco})
+                      THEN split_part(c.canonical_id, '-', 1)
+                    WHEN am.parent_id IS NOT NULL THEN 'unidad-compradora'
+                    ELSE 'dependencia' END
+                  WHEN c.rank = 2 THEN c.subtype END, '') AS subclassification,
+           CASE WHEN c.rank > 1 THEN am.parent_id END AS parent_id,
+           CASE WHEN c.rank = 3 THEN
+             CASE WHEN split_part(c.canonical_id, '-', 1)
+                       IN ('municipio', 'ayuntamiento') THEN 'city'
+                  WHEN rg.region_gov IS NOT NULL THEN rg.region_gov
+                  WHEN split_part(c.canonical_id, '-', 1) = 'gobierno'
+                    THEN 'region'
+                  ELSE 'country' END
+           END AS gov_level,
+           array_to_string(list_sort(list_distinct(
+             [s || '|slug' for s in c.alias_slugs]
+             || [d || '|domain' for d in c.sources])), ',') AS identifiers,
+           coalesce(array_to_string(
+             list_sort(list_filter(c.all_names, x -> x <> c.name)), ','
+           ), '') AS other_names,
+           c.mentions, c.pages,
+           coalesce(am.n_director_general, 0) AS n_director_general,
+           coalesce(am.n_titular, 0) AS n_titular,
+           coalesce(am.n_presidente, 0) AS n_presidente,
+           coalesce(am.n_gerente, 0) AS n_gerente,
+           coalesce(ap.member_count, 0) AS members,
+           array_to_string(c.sources, ',') AS sources,
+           strftime(c.first_seen, '{TS_FMT_DUCK}') AS first_seen,
+           strftime(c.last_seen, '{TS_FMT_DUCK}') AS last_seen
+    FROM canon c
+    LEFT JOIN as_member am ON am.canonical_id = c.canonical_id
+    LEFT JOIN as_parent ap ON ap.canonical_id = c.canonical_id
+    LEFT JOIN regions rg ON rg.canonical_id = c.canonical_id
+    """
+
+
+@query("kg_pipeline_entities", _kg_entities_oracle_sql())
+def q_kg_pipeline_entities(spark, sf_dir):
+    """The flagship's OTHER output surface — canonical entity DOCUMENTS
+    (plans/documents.entity_documents: name first-wins across the alias
+    group, identifiers arrays, subclassification chain, per-role
+    membership counters, parent/member links, gov level) — under the full
+    value-hash gate on the template corpus. Together with
+    kg_pipeline_triples this puts BOTH pipeline outputs end-to-end under
+    the DuckDB oracle."""
+    from ocds_entity_extract_spark.plans.documents import entity_documents
+    from ocds_entity_extract_spark.plans.pipeline import build_triples
+
+    docs = _t(spark, sf_dir, "documents")
+    res = build_triples(spark, _kg_template_pages(docs))
+    d = entity_documents(
+        res.entities,
+        res.mapping,
+        res.member_edges,
+        contact_edges=None,
+        inst_regions=res.inst_regions,
+    )
+    return d.select(
+        "id",
+        "name",
+        "entity_type",
+        F.array_join("subclassification", ",").alias("subclassification"),
+        "parent_id",
+        "gov_level",
+        F.array_join(
+            F.array_sort(
+                F.transform(
+                    "identifiers", lambda s: F.concat_ws("|", s.id, s.scheme)
+                )
+            ),
+            ",",
+        ).alias("identifiers"),
+        F.array_join("other_names", ",").alias("other_names"),
+        F.col("counters.mentions").alias("mentions"),
+        F.col("counters.pages").alias("pages"),
+        F.col("counters.membership_count.director_general").alias(
+            "n_director_general"
+        ),
+        F.col("counters.membership_count.titular").alias("n_titular"),
+        F.col("counters.membership_count.presidente").alias("n_presidente"),
+        F.col("counters.membership_count.gerente").alias("n_gerente"),
+        F.col("counters.members").alias("members"),
+        F.array_join("sources", ",").alias("sources"),
+        F.date_format("first_seen", TS_FMT_SPARK).alias("first_seen"),
+        F.date_format("last_seen", TS_FMT_SPARK).alias("last_seen"),
+    )
