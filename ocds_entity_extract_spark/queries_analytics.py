@@ -623,3 +623,195 @@ def q_sliding_window_avg(spark, sf_dir):
         "n",
         F.round(F.avg("n").over(w), 2).alias("ma3"),
     )
+
+
+# =====================================================================
+# LLM-training curation: packing, repetition, PII, decontamination
+# =====================================================================
+
+_PACK_WINDOW = 2048
+
+
+@query(
+    "sequence_packing",
+    f"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             CAST(len(regexp_extract_all(text,
+               ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    packed AS (
+      SELECT source, doc_id, n_tok,
+             CAST((sum(n_tok) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tok) // {_PACK_WINDOW} AS BIGINT) AS bin
+      FROM toks
+    )
+    SELECT source, bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS tokens
+    FROM packed GROUP BY source, bin
+    """,
+)
+def q_sequence_packing(spark, sf_dir):
+    """Contiguous sequence packing for LLM training: documents are packed
+    into ~{W}-token bins per source shard (bin = exclusive running token
+    count // W). Deterministic (ordered by doc_id), one window per shard
+    — at 100 TB the PARTITION BY shard key is what keeps the prefix sum
+    parallel instead of one global sequence. Greedy best-fit packing is
+    inherently sequential; contiguous packing is the distributed-friendly
+    standard and its fill loss is the (reported) tokens-vs-capacity gap."""
+    from ocds_entity_extract_spark.queries_ml import BPE_RE
+
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0)).cast(
+        "bigint"
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = d.select("source", "doc_id", n_tok.alias("n_tok")).withColumn(
+        "bin",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / _PACK_WINDOW).cast(
+            "bigint"
+        ),
+    )
+    return packed.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("tokens"),
+    )
+
+
+@query(
+    "repetition_ratio",
+    r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_words,
+           round(1.0 - CAST(len(list_distinct(string_split_regex(text, '\s+')))
+                            AS DOUBLE)
+                       / len(string_split_regex(text, '\s+')), 4) AS rep_ratio
+    FROM documents
+    """,
+)
+def q_repetition_ratio(spark, sf_dir):
+    """Word-repetition ratio per document (Gopher-style repetition
+    filter signal): 1 - distinct/total words. Scan-local, no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.round(
+            1.0 - F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 4
+        ).alias("rep_ratio"),
+    )
+
+
+_PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)+"
+_PII_PHONE_RE = "tel[.:]? [0-9]{2,3} [0-9]{4} [0-9]{4}"
+
+
+@query(
+    "pii_scrub",
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contacto: user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com tel. 55 1234 5678' AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE_RE}')) AS BIGINT)
+             AS n_phones,
+           md5(regexp_replace(regexp_replace(text, '{_PII_EMAIL_RE}', '[EMAIL]',
+                                             'g'),
+                              '{_PII_PHONE_RE}', '[PHONE]', 'g')) AS scrubbed_md5
+    FROM aug
+    """,
+)
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (emails, phone numbers) with per-doc counts; the
+    scrubbed text is verified by md5 so the REDACTED OUTPUT — not just the
+    counts — is value-gated. The test corpus carries no organic PII, so a
+    deterministic contact line is appended per doc before scrubbing
+    (documented synthesis; the operator itself is corpus-agnostic).
+    Scan-local regexp_replace — no shuffle, pushes to the scan stage."""
+    d = _t(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contacto: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com tel. 55 1234 5678"),
+        ).alias("text"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _PII_EMAIL_RE, "[EMAIL]"),
+        _PII_PHONE_RE,
+        "[PHONE]",
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_EMAIL_RE), 0))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_PHONE_RE), 0))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+_DECON_N = 3   # n-gram size: tiny synthetic vocab → 3; real corpora use 8-13
+
+
+@query(
+    "decontamination",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(t[i:i+{_DECON_N - 1}], ' ')
+               for i in range(1, greatest(len(t) - {_DECON_N - 1}, 1) + 1)]))
+               AS s
+      FROM toks
+    ),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+    SELECT sh.doc_id,
+           CAST(count(DISTINCT sh.s) AS BIGINT) AS n_overlap
+    FROM sh JOIN bench USING (s)
+    WHERE sh.doc_id % 97 <> 0
+    GROUP BY sh.doc_id
+    """,
+)
+def q_decontamination(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing any word n-gram
+    with the (deterministic doc_id%97) eval set, with overlap counts.
+    Plan: shingle both sides once, semi-join on the shingle — the eval
+    side is tiny and broadcast, so the corpus side never shuffles. At
+    100 TB hash the shingles (portable_hash64) and broadcast the eval
+    hash set; n rises to 8-13 on real vocabulary."""
+    from ocds_entity_extract_spark.operators.dedup import with_word_shingles
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = with_word_shingles(d, "text", n=_DECON_N).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("s").cast("bigint").alias("n_overlap"))
+    )
