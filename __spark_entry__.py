@@ -17,33 +17,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: sf0.001 documents -> synthetic pages -> KG triples."""
-    from pyspark.sql import functions as F
+    """Flagship: sf0.001 documents -> template pages -> KG triples.
 
+    Uses the SAME deterministic html template the oracle-gated
+    kg_pipeline_triples query runs (queries_ml._kg_template_pages), so the
+    driver smoke exercises every emitted predicate — mentions/type/sameAs
+    plus memberOf (membership sentences), inArea/partOf (place-suffixed
+    institutions) — not just the company path."""
     from ocds_entity_extract_spark.plans.pipeline import build_triples
+    from ocds_entity_extract_spark.queries_ml import _kg_template_pages
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    # deterministic page synthesis: wrap each doc in HTML and embed a
-    # company-style mention derived from the doc's own leading words.
-    frag = F.initcap(F.substring(F.col("text"), 1, 40))
-    html = F.encode(
-        F.concat(
-            F.lit("<html><head><title>doc</title><script>var x=1;</script></head><body><p>hoy "),
-            frag,
-            F.lit(" S.A. de C.V. anunció resultados.</p><p>"),
-            F.col("text"),
-            F.lit("</p></body></html>"),
-        ),
-        "UTF-8",
-    )
-    pages = docs.select(
-        F.concat(F.lit("https://docs.example.mx/"), F.col("doc_id").cast("string")).alias("url"),
-        (F.lit("2025-01-01 00:00:00").cast("timestamp") + F.make_interval(secs=F.col("doc_id"))).alias("warc_ts"),
-        html.alias("html"),
-        F.lit(None).cast("string").alias("text"),
-        F.col("lang"),
-    )
-    return build_triples(spark, pages).triples
+    return build_triples(spark, _kg_template_pages(docs)).triples
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
