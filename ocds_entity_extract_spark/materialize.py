@@ -71,3 +71,62 @@ def materialize_triples(
     )
     cat.append("metrics", mdf)
     return metrics
+
+
+def upsert_table(
+    cat: Catalog,
+    table: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    partition_by: list[str] | None = None,
+) -> None:
+    """MERGE INTO semantics over the parquet catalog: latest-wins upsert.
+
+    ≙ Iceberg `MERGE INTO t USING u ON keys WHEN MATCHED UPDATE WHEN NOT
+    MATCHED INSERT` — emulated as read + unionByName + per-key latest-wins
+    (max `order_col`, update beats existing on ties) + partition-targeted
+    rewrite.
+
+    Scale notes: only partitions PRESENT IN THE UPDATE are read back and
+    rewritten (`overwrite_partitions` is dynamic), so an incremental batch
+    touching k partitions costs O(k partitions), not O(table) — the same
+    copy-on-write cost model as Iceberg MERGE without positional deletes.
+    When `partition_by` is None the whole table rewrites (fine for dims,
+    wrong for facts — partition facts).
+    """
+    from pyspark.sql.window import Window
+
+    if not cat.exists(table):
+        if partition_by:
+            cat.overwrite_partitions(table, updates, partition_by)
+        else:
+            cat.replace_table(table, updates)
+        return
+
+    existing = cat.read(table).withColumn("_src", F.lit(0))
+    upd = updates.withColumn("_src", F.lit(1))
+    if partition_by:
+        # prune the read-back to partitions the update touches
+        touched = updates.select(*partition_by).distinct()
+        existing = existing.join(F.broadcast(touched), partition_by, "left_semi")
+    merged = (
+        existing.unionByName(upd)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(*key_cols).orderBy(
+                    F.col(order_col).desc(), F.col("_src").desc()
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
+    # materialize before overwriting the files being read (parquet has no
+    # snapshot isolation; Iceberg's writeTo does this transactionally)
+    merged = merged.localCheckpoint(eager=True)
+    if partition_by:
+        cat.overwrite_partitions(table, merged, partition_by)
+    else:
+        cat.replace_table(table, merged)

@@ -103,3 +103,46 @@ def test_incremental_new_pages_only(spark, tmp_path):
     more = spark.createDataFrame(PAGES, "url string")
     pend = pending_pages(cat, more, "s", 4).count()
     assert pend == 0
+
+
+def test_upsert_latest_wins(spark, tmp_path):
+    from ocds_entity_extract_spark.materialize import upsert_table
+    from ocds_entity_extract_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [("a", "p1", 1, "v1"), ("b", "p1", 1, "v2"), ("c", "p2", 1, "v3")],
+        "id string, part string, ver int, val string",
+    )
+    upsert_table(cat, "t", base, ["id"], "ver", partition_by=["part"])
+
+    upd = spark.createDataFrame(
+        [("b", "p1", 2, "v2new"),      # update existing
+         ("d", "p1", 1, "v4"),         # insert new
+         ("a", "p1", 0, "stale")],     # stale version -> ignored
+        "id string, part string, ver int, val string",
+    )
+    upsert_table(cat, "t", upd, ["id"], "ver", partition_by=["part"])
+
+    got = {r["id"]: (r["ver"], r["val"]) for r in cat.read("t").collect()}
+    assert got == {
+        "a": (1, "v1"), "b": (2, "v2new"), "c": (1, "v3"), "d": (1, "v4"),
+    }
+
+
+def test_upsert_tie_prefers_update(spark, tmp_path):
+    from ocds_entity_extract_spark.materialize import upsert_table
+    from ocds_entity_extract_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    upsert_table(
+        cat, "t",
+        spark.createDataFrame([("a", 1, "old")], "id string, ver int, val string"),
+        ["id"], "ver",
+    )
+    upsert_table(
+        cat, "t",
+        spark.createDataFrame([("a", 1, "new")], "id string, ver int, val string"),
+        ["id"], "ver",
+    )
+    assert cat.read("t").collect()[0]["val"] == "new"
