@@ -130,3 +130,36 @@ def upsert_table(
         cat.overwrite_partitions(table, merged, partition_by)
     else:
         cat.replace_table(table, merged)
+
+
+def compact_table(
+    cat: Catalog,
+    table: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite the table into ~target-sized files.
+
+    Streaming/incremental sinks accumulate many small files (one per
+    micro-batch per partition); small files poison scan parallelism
+    planning and metadata ops at scale. Rewrite keeps content identical
+    and returns the new file count. ≙ Iceberg `rewrite_data_files`.
+    """
+    import glob
+    import os
+
+    df = cat.read(table)
+    total = sum(
+        os.path.getsize(f)
+        for f in glob.glob(os.path.join(cat.path(table), "**", "*.parquet"),
+                           recursive=True)
+    )
+    n_files = max(1, total // target_file_bytes)
+    compacted = df.repartition(int(n_files)).localCheckpoint(eager=True)
+    if partition_by:
+        cat.replace_table(table, compacted, partition_by)
+    else:
+        cat.replace_table(table, compacted)
+    return len(
+        glob.glob(os.path.join(cat.path(table), "**", "*.parquet"), recursive=True)
+    )

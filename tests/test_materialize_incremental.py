@@ -146,3 +146,22 @@ def test_upsert_tie_prefers_update(spark, tmp_path):
         ["id"], "ver",
     )
     assert cat.read("t").collect()[0]["val"] == "new"
+
+
+def test_compact_table_preserves_content(spark, tmp_path):
+    from ocds_entity_extract_spark.materialize import compact_table
+    from ocds_entity_extract_spark.sources.catalog import Catalog
+    import glob
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.range(0, 1000).selectExpr("id", "id % 7 AS v")
+    # fragment: 50 tiny files
+    cat.replace_table("t", df.repartition(50))
+    before = len(glob.glob(str(tmp_path / "wh" / "t" / "**" / "*.parquet"),
+                           recursive=True))
+    assert before >= 50
+
+    after = compact_table(cat, "t")
+    assert after < before
+    got = sorted((r["id"], r["v"]) for r in cat.read("t").collect())
+    assert got == sorted((i, i % 7) for i in range(1000))
