@@ -1866,3 +1866,60 @@ def q_kg_pipeline_entities(spark, sf_dir):
         F.date_format("first_seen", TS_FMT_SPARK).alias("first_seen"),
         F.date_format("last_seen", TS_FMT_SPARK).alias("last_seen"),
     )
+
+
+def _embed_neardup_lsh_oracle_sql(
+    dim: int = 64, n_planes: int = 4, seed: int = 7, threshold: float = 0.45
+) -> str:
+    """DuckDB twin of the LSH-bucketed embedding near-dup: the same seeded
+    hyperplane literals -> sign bucket -> bucket-local self-join -> cosine
+    verify (the _ann_lsh_oracle_sql bucket construction, applied to
+    pairwise dedup instead of top-k)."""
+    from ocds_entity_extract_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    cases = "\n           + ".join(
+        f"CASE WHEN list_dot_product(embedding, {[round(x, 17) for x in p]}) > 0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             ({cases}) AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vid_a, x.vec_id AS vid_b,
+           round(list_cosine_similarity(a.embedding, x.embedding), 3) AS score
+    FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+    WHERE round(list_cosine_similarity(a.embedding, x.embedding), 3)
+          >= {threshold}
+    """
+
+
+@query("dedup_near_embedding_lsh", _embed_neardup_lsh_oracle_sql(dim=EMBEDDING_DIM))
+def q_dedup_near_embedding_lsh(spark, sf_dir):
+    """Embedding near-dup with LSH-bucket blocking — the 100 TB version of
+    q:dedup_near_embedding (label-blocking degenerates when one label
+    dominates; hyperplane buckets bound every block at ~n/2^planes
+    regardless of label skew). Same seeded hyperplanes as the ANN family,
+    so the DuckDB twin reproduces bucket assignment exactly; candidates
+    are verified by exact cosine inside the bucket."""
+    from ocds_entity_extract_spark.operators.similarity import with_lsh_bucket
+
+    e = _t(spark, sf_dir, "embeddings")
+    b = with_lsh_bucket(e, "embedding", dim=EMBEDDING_DIM, n_planes=4)
+    a = b.select(
+        "bucket", F.col("vec_id").alias("vid_a"), F.col("embedding").alias("va")
+    )
+    x = b.select(
+        "bucket", F.col("vec_id").alias("vid_b"), F.col("embedding").alias("vb")
+    )
+    score = F.round(cosine(F.col("va"), F.col("vb")), 3)
+    return (
+        a.join(x, "bucket")
+        .filter(F.col("vid_a") < F.col("vid_b"))
+        .withColumn("score", score)
+        .filter(F.col("score") >= 0.45)
+        .select("vid_a", "vid_b", "score")
+    )
