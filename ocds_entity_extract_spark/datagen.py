@@ -26,7 +26,11 @@ import re
 from dataclasses import dataclass, field
 from datetime import datetime, timedelta, timezone
 
-from ocds_entity_extract_spark.functions.text import _ACC_DST, _ACC_SRC
+from ocds_entity_extract_spark.functions.text import (  # noqa: F401
+    _ACC_DST,
+    _ACC_SRC,
+    simple_name_py as _simple_name_py_impl,
+)
 
 _TRANS = str.maketrans(_ACC_SRC, _ACC_DST)
 _NON_ALNUM = re.compile(r"[^a-z0-9]+")
@@ -62,11 +66,10 @@ LANGS = ["es", "es", "es", "es", "en", "pt"]  # reference is Spanish-centric
 
 
 def simple_name_py(s: str) -> str:
-    """Python mirror of functions.text.simple_name (slug). Uses the SAME
-    accent translate table as the Spark Column version so the two can never
-    disagree — exact agreement is tested in test_text_fns."""
-    t = s.translate(_TRANS).lower()
-    return _NON_ALNUM.sub("-", t).strip("-")
+    """Python mirror of functions.text.simple_name (slug); canonical
+    implementation lives in functions/text.py (shared with the driver-side
+    linking twin and the zero-shuffle membership pass)."""
+    return _simple_name_py_impl(s)
 
 
 @dataclass

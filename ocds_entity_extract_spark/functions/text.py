@@ -54,6 +54,22 @@ def simple_name(col: Column | str) -> Column:
     return F.regexp_replace(dashed, r"(^-+)|(-+$)", "")
 
 
+import re as _re
+
+_TRANS_PY = str.maketrans(_ACC_SRC, _ACC_DST)
+_NON_ALNUM_PY = _re.compile(r"[^a-z0-9]+")
+
+
+def simple_name_py(s: str) -> str:
+    """Python mirror of `simple_name` (slug). Uses the SAME accent
+    translate table as the Spark Column version so the two can never
+    disagree — exact agreement is tested in test_text_fns. Used by the
+    driver-side linking twin, the datagen golden derivation and the
+    zero-shuffle membership pass (operators/mentions.py)."""
+    t = s.translate(_TRANS_PY).lower()
+    return _NON_ALNUM_PY.sub("-", t).strip("-")
+
+
 def membership_id(child: Column | str, parent: Column | str, sep: str = "_") -> Column:
     """Edge id `child_parent` (reference extract.js:358,386,442,...)."""
     c = F.col(child) if isinstance(child, str) else child

@@ -406,10 +406,13 @@ def verified_edges_py(
     return edges
 
 
-def linking_mapping_driver_side(spark, slugs: list[str]) -> "DataFrame":
-    """ids -> (entity_id, canonical_id) via `verified_edges_py` + union-find,
-    identity rows for singletons. Output contract identical to
-    `canonical_mapping(ids, verified_edges(ids))`."""
+def linking_canon_dict(slugs: list[str]) -> dict[str, str]:
+    """ids -> {entity_id: canonical_id} via `verified_edges_py` + union-find,
+    identity entries for singletons. The driver-side twin of
+    `canonical_mapping(ids, verified_edges(ids))` as a plain dict — the
+    zero-shuffle assembly path (plans/pipeline.py) broadcasts it to the
+    Python workers, and `linking_mapping_driver_side` wraps it as a
+    DataFrame for join consumers."""
     edges = verified_edges_py(slugs)
     parent: dict[str, str] = {}
 
@@ -428,7 +431,13 @@ def linking_mapping_driver_side(spark, slugs: list[str]) -> "DataFrame":
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
 
-    rows = [(s, find(s) if s in parent else s) for s in sorted(set(slugs))]
+    return {s: (find(s) if s in parent else s) for s in sorted(set(slugs))}
+
+
+def linking_mapping_driver_side(spark, slugs: list[str]) -> "DataFrame":
+    """ids -> (entity_id, canonical_id) via `linking_canon_dict`. Output
+    contract identical to `canonical_mapping(ids, verified_edges(ids))`."""
+    canon = linking_canon_dict(slugs)
     return spark.createDataFrame(
-        rows, "entity_id string, canonical_id string"
+        sorted(canon.items()), "entity_id string, canonical_id string"
     )

@@ -218,6 +218,174 @@ def mentions_via_dim(
     return exploded.join(F.broadcast(dim) if broadcast else dim, "surface")
 
 
+def canon_mention_rows(spans: DataFrame, surf2canon_bc) -> DataFrame:
+    """spans -> (subj=url, obj=canonical_id) rows, one per DISTINCT
+    canonical entity per page, resolved through a broadcast
+    surface->canonical dict. ZERO shuffle.
+
+    This is the size-adaptive fast twin of the join-path assembly
+    (explode -> dim join -> mapping join -> global distinct): because the
+    spans table carries exactly one row per url, duplicate
+    (url, canonical_id) pairs can only arise WITHIN a page, so the per-page
+    dedup here is globally complete and the corpus-sized distinct exchange
+    — the pipeline's one big shuffle — disappears entirely. Valid only
+    when (a) pages are url-unique (the input table's key per the north
+    rule's input_hint) and (b) the surface dim fits a driver dict (the
+    caller gates on the same `max_driver_linking` threshold as driver-side
+    linking; at web scale the join path runs instead).
+
+    Implemented as `mapInArrow` with batch-level vectorization: surfaces
+    are dictionary-encoded per Arrow batch (Zipf: ~10-100x fewer uniques
+    than spans), the broadcast dict is probed ONLY for the uniques, and the
+    per-page dedup + explode is one `np.unique` over packed
+    (page, canon-code) int64 keys — no per-string Python object ever
+    materializes, so worker CPU and allocator/memory-bus pressure stay
+    ~flat as cores scale (the pandas-UDF predecessor spent ~5x the CPU
+    building object Series and scaled at ~0.3 between 2 and 8 local
+    cores).
+
+    `surf2canon_bc` is a SparkContext broadcast of {surface: canonical_id}
+    covering every dim surface (surfaces whose slug normalized to '' are
+    absent, matching the dim's inner-join filter). Parity with the join
+    path is pytest-gated (test_linking_cc, test_pipeline_golden).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _batches(it):
+        m = surf2canon_bc.value
+        for batch in it:
+            urls = batch.column(0)
+            arrs = batch.column(1)
+            flat = pc.list_flatten(arrs)
+            parents = pc.list_parent_indices(arrs).to_numpy(
+                zero_copy_only=False
+            )
+            enc = flat.dictionary_encode()
+            uniq = enc.dictionary.to_pylist()
+            canon_uniq: dict[str, int] = {}
+            codes = np.empty(max(len(uniq), 1), dtype=np.int64)
+            for i, u in enumerate(uniq):
+                c = m.get(u)
+                codes[i] = (
+                    -1 if c is None else canon_uniq.setdefault(c, len(canon_uniq))
+                )
+            k = max(len(canon_uniq), 1)
+            pcode = codes[enc.indices.to_numpy(zero_copy_only=False)]
+            keep = pcode >= 0
+            keys = np.unique(parents[keep] * k + pcode[keep])
+            subj = pc.take(urls, pa.array(keys // k, type=pa.int64()))
+            obj = pc.take(
+                pa.array(list(canon_uniq), type=pa.string()),
+                pa.array(keys % k, type=pa.int64()),
+            )
+            yield pa.record_batch([subj, obj], names=["subj", "obj"])
+
+    return spans.select("url", "mention_spans").mapInArrow(
+        _batches, "subj string, obj string"
+    )
+
+
+# fast membership-span splitter, equivalent to MEMBERSHIP_RE group
+# extraction ON STRINGS THAT ARE FULL MEMBERSHIP_RE MATCHES (the only
+# strings it ever sees — member spans are produced by MEMBERSHIP_RE
+# findall): group 1 (a MENTION) can never contain a comma, so the first
+# comma is exactly its right edge, and group 3 extends to the end of the
+# matched span. Same role-alternation order, same inter-group \s+.
+# ~5x cheaper per span than re-running the nested-mention alternation.
+MEMBERSHIP_SPLIT_RE = f"([^,]+),\\s+({ROLE_RE})\\s+de\\s+([\\s\\S]*)"
+
+
+def member_edge_rows(spans: DataFrame, slug2canon_bc) -> DataFrame:
+    """spans -> (url, member_canon, role, org_canon) rows: the membership
+    branch as ONE Arrow pass with dict-probe canonicalization. ZERO shuffle
+    (the consumer's memberOf distinct is a tiny exchange over the already
+    page-deduped edge set).
+
+    Twin of `memberships_from_spans(...).join(mapping x2)` (the join path):
+    each member span is re-parsed (split at the first comma — equivalent to
+    `regexp_extract(m, MEMBERSHIP_RE, i)` on full matches, see
+    MEMBERSHIP_SPLIT_RE), slugged with `simple_name_py` (parity-locked to
+    the Column version in test_text_fns), then probed against the broadcast
+    slug->canonical dict. A missing slug drops the edge — exactly the join
+    path's INNER join against the mapping (whose keys are all dim slugs).
+    Gated on the same `max_driver_linking` threshold as driver-side
+    linking.
+
+    Member sentences repeat heavily across a crawl (boilerplate, syndicated
+    articles), so parses are memoized in a worker-persistent cache keyed by
+    the span string (capped — a pathological corpus can't grow it
+    unboundedly); spans are dictionary-encoded per batch so each distinct
+    span parses once per batch even on a cold cache.
+    """
+    import re
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ocds_entity_extract_spark.functions.text import simple_name_py
+
+    split_pat = re.compile(MEMBERSHIP_SPLIT_RE)
+    _CACHE_CAP = 1_000_000
+
+    def _batches(it):
+        canon = slug2canon_bc.value
+        cache: dict = {}
+
+        def parse(s):
+            m = split_pat.match(s)
+            if m is None:
+                return None
+            mc = canon.get(simple_name_py(m.group(1)))
+            oc = canon.get(simple_name_py(m.group(3)))
+            return (mc, m.group(2), oc) if mc and oc else None
+
+        for batch in it:
+            urls = batch.column(0)
+            arrs = batch.column(1)
+            parents = pc.list_parent_indices(arrs).to_numpy(
+                zero_copy_only=False
+            )
+            enc = pc.list_flatten(arrs).dictionary_encode()
+            parsed = []
+            for s in enc.dictionary.to_pylist():
+                hit = cache.get(s, 0)
+                if hit == 0:
+                    hit = parse(s)
+                    if len(cache) < _CACHE_CAP:
+                        cache[s] = hit
+                parsed.append(hit)
+            out_idx, mcs, roles, ocs = [], [], [], []
+            for pos, code in enumerate(
+                enc.indices.to_numpy(zero_copy_only=False)
+            ):
+                p = parsed[code]
+                if p is not None:
+                    out_idx.append(parents[pos])
+                    mcs.append(p[0])
+                    roles.append(p[1])
+                    ocs.append(p[2])
+            yield pa.record_batch(
+                [
+                    pc.take(urls, pa.array(out_idx, type=pa.int64())),
+                    pa.array(mcs, type=pa.string()),
+                    pa.array(roles, type=pa.string()),
+                    pa.array(ocs, type=pa.string()),
+                ],
+                names=["url", "member_canon", "role", "org_canon"],
+            )
+
+    return (
+        spans.filter(F.size("member_spans") > 0)
+        .select("url", "member_spans")
+        .mapInArrow(
+            _batches,
+            "url string, member_canon string, role string, org_canon string",
+        )
+    )
+
+
 def contacts_from_spans(spans: DataFrame) -> DataFrame:
     """detect_spans output -> (url, contact_type, contact_value) rows.
 

@@ -63,6 +63,79 @@ def infer_institution_regions(
     )
 
 
+def area_branch_py(
+    inst_alias_pairs: list[tuple[str, str]],
+) -> tuple[list[tuple], list[tuple], list[tuple]]:
+    """Exact Python twin of the institution-area branch for the
+    size-adaptive driver path: `infer_institution_regions` + `area_edges` +
+    `area_nodes` restricted to the shapes that branch produces (country
+    fixed 'México', locality NULL, gov_level 'region' — so the ancestor
+    array is always [state, country]).
+
+    Input: (canonical_id, alias_slug) institution alias pairs (bounded by
+    `max_driver_linking`). Returns (addr_rows, node_rows, edge_triples)
+    with the same values the Spark branch computes — equality is gated by
+    test_build_triples_driver_vs_distributed_linking, which compares the
+    full triple set of the two paths. Below the threshold the Spark branch
+    is ~10 broadcast-join stages of pure scheduling latency over at most a
+    few thousand rows; above it the Spark branch runs unchanged.
+    """
+    from ocds_entity_extract_spark.functions.geo import (
+        MX_STATES,
+        MX_STATE_ALIASES,
+    )
+    from ocds_entity_extract_spark.functions.text import simple_name_py
+
+    iso_by_name = dict(MX_STATES)
+    state_dim = [(n, c, simple_name_py(n)) for n, c in MX_STATES] + [
+        (a, iso_by_name[canon], simple_name_py(a))
+        for a, canon in MX_STATE_ALIASES
+    ]
+
+    # infer_institution_regions: suffix probe, min(state_name) per entity
+    best: dict[str, str] = {}
+    for cid, slug in inst_alias_pairs:
+        for state_name, _iso, nslug in state_dim:
+            if slug.endswith("-de-" + nslug):
+                cur = best.get(cid)
+                if cur is None or state_name < cur:
+                    best[cid] = state_name
+    addr_rows = sorted(
+        (cid, "México", region, None, "region") for cid, region in best.items()
+    )
+
+    # with_state_code / with_country_code: slug -> ISO code (alias rows
+    # included), 'MX-'+slug fallback; country 'México' resolves to code MX
+    slug2iso = {nslug: iso for _n, iso, nslug in state_dim}
+    country_id = simple_name_py("MX")          # 'mx'
+    edge_set: set[tuple[str, str, str]] = set()
+    node_agg: dict[str, tuple[str, str, str | None]] = {}
+    for cid, _country, region, _loc, _gov in addr_rows:
+        sslug = simple_name_py(region)
+        state_code = slug2iso.get(sslug, "MX-" + sslug)
+        edge_set.add((cid, "inArea", state_code))
+        edge_set.add((state_code, "partOf", country_id))
+        for area_id, name, classification, parent in (
+            (state_code, region, "region", country_id),
+            (country_id, "México", "country", None),
+        ):
+            cur = node_agg.get(area_id)
+            if cur is None:
+                node_agg[area_id] = (name, classification, parent)
+            else:
+                node_agg[area_id] = (
+                    min(cur[0], name),
+                    min(cur[1], classification),
+                    cur[2] if parent is None else (
+                        parent if cur[2] is None else min(cur[2], parent)
+                    ),
+                )
+    node_rows = sorted(
+        (aid, n, c, p) for aid, (n, c, p) in node_agg.items()
+    )
+    return addr_rows, node_rows, sorted(edge_set)
+
+
 def _level_rank(col):
     return (
         F.when(col == "city", 3).when(col == "region", 2).when(col == "country", 1)

@@ -146,13 +146,24 @@ def build_triples(
     # is ~15 sub-second shuffles whose scheduling latency dominates any
     # sub-web-scale corpus. Above the threshold: the distributed path.
     ids = dim.select("entity_id")
+    surf2canon = None
     if dim_count is not None and dim_count <= max_driver_linking:
         from ocds_entity_extract_spark.operators.linking import (
-            linking_mapping_driver_side,
+            linking_canon_dict,
         )
 
-        slugs = [r["entity_id"] for r in ids.distinct().collect()]
-        mapping_plain = linking_mapping_driver_side(spark, slugs)
+        # ONE bounded collect serves linking, the zero-shuffle assembly
+        # AND the driver-side small branches below: (surface, entity_id,
+        # entity_type) rows give the slug universe for union-find, the
+        # surface->canonical dict, and the per-surface type ranks
+        # (<= dim_count entries — the same driver budget as the broadcast
+        # join).
+        dim_rows = dim.select("surface", "entity_id", "entity_type").collect()
+        canon = linking_canon_dict(sorted({r["entity_id"] for r in dim_rows}))
+        surf2canon = {r["surface"]: canon[r["entity_id"]] for r in dim_rows}
+        mapping_plain = spark.createDataFrame(
+            sorted(canon.items()), "entity_id string, canonical_id string"
+        )
         # bounded by max_driver_linking rows -> always broadcastable: the
         # hint turns every downstream mapping JOIN (canon mentions, type
         # rank, membership x2, contacts) into a map-side probe instead of
@@ -178,97 +189,174 @@ def build_triples(
     # input. distinct BEFORE adding the constant pred column: the dedup
     # shuffle (the pipeline's one corpus-sized exchange) carries two
     # narrow columns, not a per-row literal.
-    canon_mention_occ = spans.select(
-        "url", F.explode(F.array_distinct("mention_spans")).alias("surface")
-    ).join(
-        F.broadcast(dim.select("surface", "entity_id"))
-        if use_broadcast
-        else dim.select("surface", "entity_id"),
-        "surface",
-    )
-    canon_mentions = (
-        canon_mention_occ.join(mapping, "entity_id")
-        .select("url", "canonical_id")
-        .distinct()
-        .select(
-            F.col("url").alias("subj"),
-            F.lit("mentions").alias("pred"),
-            F.col("canonical_id").alias("obj"),
+    if surf2canon is not None:
+        # zero-shuffle fast path (size-adaptive, same threshold as
+        # driver-side linking): the surface->canonical dict rides a
+        # SparkContext broadcast into one pandas pass over the cached
+        # spans table, which dedups canonical ids WITHIN each page —
+        # globally complete because spans is url-unique — so neither the
+        # dim/mapping joins nor the corpus-sized distinct exchange run at
+        # all. Parity with the join path below is pytest-gated
+        # (test_build_triples_driver_vs_distributed_linking).
+        from ocds_entity_extract_spark.operators.mentions import (
+            canon_mention_rows,
         )
-    )
+
+        bc = spark.sparkContext.broadcast(surf2canon)
+        canon_mentions = canon_mention_rows(spans, bc).select(
+            "subj", F.lit("mentions").alias("pred"), "obj"
+        )
+    else:
+        canon_mention_occ = spans.select(
+            "url", F.explode(F.array_distinct("mention_spans")).alias("surface")
+        ).join(
+            F.broadcast(dim.select("surface", "entity_id"))
+            if use_broadcast
+            else dim.select("surface", "entity_id"),
+            "surface",
+        )
+        canon_mentions = (
+            canon_mention_occ.join(mapping, "entity_id")
+            .select("url", "canonical_id")
+            .distinct()
+            .select(
+                F.col("url").alias("subj"),
+                F.lit("mentions").alias("pred"),
+                F.col("canonical_id").alias("obj"),
+            )
+        )
 
     # component-level type: max precedence across ALL mentions of the
     # component (order-independent A16 fixpoint, reference extract.js:310-318).
     # entity_type is a function of the SURFACE and every dim surface occurs
     # in >= 1 mention, so the dim-level max equals the mention-level max —
     # computed over the tiny dim, not the mention stream.
-    canon_rank = (
-        dim.select("entity_id", type_rank("entity_type").alias("_rank"))
-        .join(mapping, "entity_id")
-        .groupBy("canonical_id")
-        .agg(F.max("_rank").alias("_rank"))
-    )
-    if cache_intermediates:
-        # two consumers (type triples + institution filter for areas);
-        # localCheckpoint materializes once, blocks GC-released with the job
-        canon_rank = canon_rank.localCheckpoint(eager=False)
-    canon_types = canon_rank.select(
-        F.col("canonical_id").alias("subj"),
-        F.lit("type").alias("pred"),
-        rank_type(F.col("_rank")).alias("obj"),
-    )
-
-    # area machinery (≙ reference extract.js:785-829, 897-982): institution
-    # components -> region inferred from place-suffixed alias slugs ->
-    # (inst, inArea, state) + (state, partOf, country) triples + area nodes
-    from ocds_entity_extract_spark.plans.areas import (
-        area_edges,
-        area_nodes,
-        infer_institution_regions,
-    )
-
     _addr_schema = (
         "entity_id string, country_name string, region string,"
         " locality string, gov_level string"
     )
-    if emit_areas:
-        inst_aliases = mapping.join(
-            canon_rank.filter(F.col("_rank") == 3).select("canonical_id"),
-            "canonical_id",
-        ).select("canonical_id", F.col("entity_id").alias("alias_slug"))
-        addrs = infer_institution_regions(inst_aliases, spark)
-        area_triples = area_edges(addrs, spark).select("subj", "pred", "obj")
-        areas_tbl = area_nodes(addrs, spark)
-    else:
-        addrs = spark.createDataFrame([], _addr_schema)
-        area_triples = spark.createDataFrame(
-            [], "subj string, pred string, obj string"
+    _nodes_schema = (
+        "area_id string, name string, classification string, parent_id string"
+    )
+    _triple_schema = "subj string, pred string, obj string"
+    if surf2canon is not None:
+        # driver-side small branches: the dim rows, canonical dict and the
+        # (static) geo dims are all already on the driver, so the
+        # type/sameAs/area triples — a few thousand rows at most under
+        # `max_driver_linking` — are computed in plain Python and shipped
+        # back as ONE createDataFrame. The Spark branch below runs these as
+        # ~10 broadcast-join/agg stages whose scheduling latency is pure
+        # fixed cost at ANY corpus size (measured ~5-6s per run regardless
+        # of core count — the single biggest non-scaling term in the
+        # 2->8-core evidence). Parity with the Spark branch is gated by
+        # test_build_triples_driver_vs_distributed_linking.
+        _rank = {"institution": 3, "company": 2}
+        _type = {3: "institution", 2: "company", 1: "person"}
+        rank_by_canon: dict[str, int] = {}
+        for r in dim_rows:
+            cid = canon[r["entity_id"]]
+            rk = _rank.get(r["entity_type"], 1)
+            if rk > rank_by_canon.get(cid, 0):
+                rank_by_canon[cid] = rk
+        type_rows = sorted(
+            (cid, "type", _type[rk]) for cid, rk in rank_by_canon.items()
         )
-        areas_tbl = spark.createDataFrame(
-            [], "area_id string, name string, classification string, parent_id string"
+        sameas_rows = sorted(
+            (s, "sameAs", c) for s, c in canon.items() if s != c
+        )
+        if emit_areas:
+            from ocds_entity_extract_spark.plans.areas import area_branch_py
+
+            inst_pairs = sorted(
+                (c, s)
+                for s, c in canon.items()
+                if rank_by_canon.get(c) == 3
+            )
+            addr_rows, node_rows, area_rows = area_branch_py(inst_pairs)
+        else:
+            addr_rows, node_rows, area_rows = [], [], []
+        addrs = spark.createDataFrame(addr_rows, _addr_schema)
+        areas_tbl = spark.createDataFrame(node_rows, _nodes_schema)
+        small_triples = spark.createDataFrame(
+            type_rows + sameas_rows + area_rows, _triple_schema
+        )
+        sameas = spark.createDataFrame(sameas_rows, _triple_schema)
+    else:
+        canon_rank = (
+            dim.select("entity_id", type_rank("entity_type").alias("_rank"))
+            .join(mapping, "entity_id")
+            .groupBy("canonical_id")
+            .agg(F.max("_rank").alias("_rank"))
+        )
+        if cache_intermediates:
+            # two consumers (type triples + institution filter for areas);
+            # localCheckpoint materializes once, blocks GC-released with
+            # the job
+            canon_rank = canon_rank.localCheckpoint(eager=False)
+        canon_types = canon_rank.select(
+            F.col("canonical_id").alias("subj"),
+            F.lit("type").alias("pred"),
+            rank_type(F.col("_rank")).alias("obj"),
         )
 
-    sameas = (
-        mapping_plain.filter(F.col("entity_id") != F.col("canonical_id"))
-        .select(
-            F.col("entity_id").alias("subj"),
-            F.lit("sameAs").alias("pred"),
-            F.col("canonical_id").alias("obj"),
+        # area machinery (≙ reference extract.js:785-829, 897-982):
+        # institution components -> region inferred from place-suffixed
+        # alias slugs -> (inst, inArea, state) + (state, partOf, country)
+        # triples + area nodes
+        from ocds_entity_extract_spark.plans.areas import (
+            area_edges,
+            area_nodes,
+            infer_institution_regions,
         )
-        .distinct()
-    )
+
+        if emit_areas:
+            inst_aliases = mapping.join(
+                canon_rank.filter(F.col("_rank") == 3).select("canonical_id"),
+                "canonical_id",
+            ).select("canonical_id", F.col("entity_id").alias("alias_slug"))
+            addrs = infer_institution_regions(inst_aliases, spark)
+            area_triples = area_edges(addrs, spark).select("subj", "pred", "obj")
+            areas_tbl = area_nodes(addrs, spark)
+        else:
+            addrs = spark.createDataFrame([], _addr_schema)
+            area_triples = spark.createDataFrame([], _triple_schema)
+            areas_tbl = spark.createDataFrame([], _nodes_schema)
+
+        sameas = (
+            mapping_plain.filter(F.col("entity_id") != F.col("canonical_id"))
+            .select(
+                F.col("entity_id").alias("subj"),
+                F.lit("sameAs").alias("pred"),
+                F.col("canonical_id").alias("obj"),
+            )
+            .distinct()
+        )
+        small_triples = None
 
     # canonicalized membership edges — shared by the memberOf triples AND
     # the entity-document richness (per-role counters, parent_id)
-    memberships = memberships_from_spans(spans)
-    member_edges = (
-        memberships
-        .join(mapping.withColumnRenamed("entity_id", "person_id"), "person_id")
-        .withColumnRenamed("canonical_id", "member_canon")
-        .join(mapping.withColumnRenamed("entity_id", "org_id"), "org_id")
-        .withColumnRenamed("canonical_id", "org_canon")
-        .select("url", "member_canon", "role", "org_canon")
-    )
+    if surf2canon is not None:
+        # zero-shuffle twin: one pandas pass re-parses each member span and
+        # dict-probes both endpoint slugs against the broadcast canonical
+        # mapping — replaces 3 JVM regexp_extract passes + 2 slug regexes
+        # per span + two joins. Parity pytest-gated alongside the mention
+        # fast path.
+        from ocds_entity_extract_spark.operators.mentions import (
+            member_edge_rows,
+        )
+
+        slug_bc = spark.sparkContext.broadcast(canon)
+        member_edges = member_edge_rows(spans, slug_bc)
+    else:
+        memberships = memberships_from_spans(spans)
+        member_edges = (
+            memberships
+            .join(mapping.withColumnRenamed("entity_id", "person_id"), "person_id")
+            .withColumnRenamed("canonical_id", "member_canon")
+            .join(mapping.withColumnRenamed("entity_id", "org_id"), "org_id")
+            .withColumnRenamed("canonical_id", "org_canon")
+            .select("url", "member_canon", "role", "org_canon")
+        )
     member_triples = member_edges.select(
         F.col("member_canon").alias("subj"),
         F.lit("memberOf").alias("pred"),
@@ -291,12 +379,17 @@ def build_triples(
         .distinct()
     )
 
-    triples = (
-        canon_mentions.unionByName(canon_types)
-        .unionByName(sameas)
-        .unionByName(member_triples)
-        .unionByName(area_triples)
-    )
+    if small_triples is not None:
+        triples = canon_mentions.unionByName(member_triples).unionByName(
+            small_triples
+        )
+    else:
+        triples = (
+            canon_mentions.unionByName(canon_types)
+            .unionByName(sameas)
+            .unionByName(member_triples)
+            .unionByName(area_triples)
+        )
     return PipelineResult(
         triples=triples,
         entities=entities,
