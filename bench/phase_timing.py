@@ -29,7 +29,7 @@ def main() -> None:
     from ocds_entity_extract_spark.functions.classify import with_entity_type
     from ocds_entity_extract_spark.operators.mentions import (
         detect_spans_fused,
-        surface_dim,
+        surface_dim_batched,
     )
     from ocds_entity_extract_spark.plans.pipeline import build_triples
     from ocds_entity_extract_spark.session import get_spark
@@ -38,7 +38,8 @@ def main() -> None:
     corpus_bytes = sum(
         f.stat().st_size for f in pathlib.Path(path).glob("*.parquet")
     )
-    split = max(1 << 20, corpus_bytes // (cores * 4))
+    waves = int(os.environ.get("SPARK_GRAFT_WAVES", "2"))
+    split = max(1 << 20, corpus_bytes // (cores * waves))
     # core-scaled AQE advisory — same rationale as pipeline_job.py
     advisory = max(4 << 20, corpus_bytes // (cores * 8))
     spark = get_spark(
@@ -59,7 +60,7 @@ def main() -> None:
 
     t0 = time.time()
     spans = detect_spans_fused(pages).cache()
-    dim = with_entity_type(surface_dim(spans)).cache()
+    dim = with_entity_type(surface_dim_batched(spans)).cache()
     n_dim = dim.count()
     t1 = time.time()
 

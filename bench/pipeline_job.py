@@ -67,16 +67,20 @@ def main() -> None:
 
     path = corpus_path(n_pages)
 
-    # Size file splits so the dominant scan+extract stage runs ~4 task
-    # waves per core: the corpus is many small, highly-compressed files,
-    # and the default 128 MB maxPartitionBytes + 4 MB openCostInBytes
-    # packs them into ~2x-cores partitions — a 1-2-wave stage whose
-    # stragglers bound wall-clock at high core counts. (Cluster analogue:
-    # tune split size so map stages get several waves per executor slot.)
+    # Size file splits so the dominant scan+extract stage runs ~2 task
+    # waves per core (SPARK_GRAFT_WAVES overrides): page cost is uniform
+    # (bounded html), so stragglers are mild and FEWER, larger tasks win —
+    # every downstream pass over the cached spans table inherits this
+    # partitioning, and per-task Arrow/scheduling overhead (~20ms/task)
+    # is the dominant cost of the post-extraction phase at high core
+    # counts (measured: waves=2 cut the 8-core extract+assembly ~20% vs
+    # waves=4 with no 2-core regression). (Cluster analogue: tune split
+    # size so map stages get a couple of waves per executor slot.)
     corpus_bytes = sum(
         f.stat().st_size for f in pathlib.Path(path).glob("*.parquet")
     )
-    split = max(1 << 20, corpus_bytes // (cores * 4))
+    waves = int(os.environ.get("SPARK_GRAFT_WAVES", "2"))
+    split = max(1 << 20, corpus_bytes // (cores * waves))
     # AQE's coalesce target must also scale with cores: a FIXED advisory
     # partition size caps reduce-side parallelism at shuffle_bytes/advisory
     # partitions no matter how many cores exist — at 32 cores the default

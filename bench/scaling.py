@@ -34,11 +34,17 @@ import time
 ROOT = pathlib.Path(__file__).resolve().parent.parent
 HISTORY = ROOT / "BENCH" / "scaling_history.jsonl"
 
-# modules whose source determines the measured job (query registries and
-# tests excluded — they never run inside pipeline_job)
+# modules whose source determines the measured job — ONLY what
+# pipeline_job transitively executes (query registries, tests, and
+# operators the KG job never imports — dedup/similarity/asof/graph/
+# multimodal — are excluded, so work on them can't spuriously invalidate
+# pooled evidence)
 _FP_GLOBS = [
     "ocds_entity_extract_spark/plans/*.py",
-    "ocds_entity_extract_spark/operators/*.py",
+    "ocds_entity_extract_spark/operators/mentions.py",
+    "ocds_entity_extract_spark/operators/linking.py",
+    "ocds_entity_extract_spark/operators/cc.py",
+    "ocds_entity_extract_spark/operators/merge.py",
     "ocds_entity_extract_spark/functions/*.py",
     "ocds_entity_extract_spark/session.py",
     "ocds_entity_extract_spark/schemas.py",

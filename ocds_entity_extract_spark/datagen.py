@@ -63,6 +63,22 @@ DOMAINS = ["noticias-popular.example.mx", "diario-sur.example.mx",
            "vanguardia.example.mx", "expansion-web.example.mx"]
 HOT_DOMAIN = DOMAINS[0]
 LANGS = ["es", "es", "es", "es", "en", "pt"]  # reference is Spanish-centric
+# product catalog vocabulary — LOWERCASE by design so product sentences
+# can never collide with the capitalized entity-mention grammar
+PROD_A = ["material", "equipo", "vacuna", "reactivo", "insumo", "kit"]
+PROD_B = ["de curación", "de laboratorio", "quirúrgico", "de oficina",
+          "dental", "radiológico"]
+_CENTS = ["00", "25", "50", "75"]
+
+
+def cbmei_py(s: str) -> str:
+    """Python mirror of functions.text.cbmei_id_reformat (F3, reference
+    getProductID extract.js:142-153): 12+-char undotted ids -> 3.3.4.rest."""
+    if "." in s:
+        return s
+    if len(s) >= 12:
+        return f"{s[0:3]}.{s[3:6]}.{s[6:10]}.{s[10:]}"
+    return s
 
 
 def simple_name_py(s: str) -> str:
@@ -237,12 +253,28 @@ def generate_corpus(n_pages: int, seed: int = 42,
             orgs.append(e)
             override_rows.append({"name": name, "type": "company"})
 
+    # product catalog (≙ the CBMEI product index the reference probes,
+    # extract.js:49): 13-digit ids, constant lowercase description per id
+    n_products = max(40, min(400, n_pages // 1000))
+    prod_catalog: list[tuple[str, str]] = []
+    seen_pids: set[str] = set()
+    while len(prod_catalog) < n_products:
+        pid13 = "".join(str(rng.randint(0, 9)) for _ in range(13))
+        if pid13 in seen_pids:
+            continue
+        seen_pids.add(pid13)
+        prod_catalog.append(
+            (pid13, f"{rng.choice(PROD_A)} {rng.choice(PROD_B)}")
+        )
+
     base_ts = datetime(2025, 1, 1, tzinfo=timezone.utc)
     pages = []
     seen_surfaces: dict[int, set[str]] = {}       # id(entity) -> surfaces used
     page_mentions: list[tuple[str, Entity]] = []  # (url, entity)
     member_facts: list[tuple[Entity, str, Entity]] = []
     contact_facts: list[tuple[Entity, str]] = []  # (entity, email on its page)
+    # (url, date, pid13, desc, qty, unit, over, avg) — floats as strings
+    product_facts: list[tuple] = []
 
     def use(e: Entity, surf: str) -> str:
         seen_surfaces.setdefault(id(e), set()).add(surf)
@@ -306,6 +338,35 @@ def generate_corpus(n_pages: int, seed: int = 42,
             for e, _surf in picks:
                 contact_facts.append((e, page_contact))
 
+        if rng.random() < 0.08:                   # procurement-report items
+            # product sentences (≙ contract.items, reference
+            # extract.js:40-106): id, desc, qty, unit price, overprice
+            # (60% zero; the ≠0 / >0 gates both get exercised), reference
+            # average (occasionally zero to exercise the avg≠0 gate)
+            for pid13, desc in rng.sample(prod_catalog, rng.randint(1, 2)):
+                qty = rng.randint(1, 500)
+                unit = f"{rng.randint(5, 900)}.{rng.choice(_CENTS)}"
+                r = rng.random()
+                if r < 0.60:
+                    over = "0.00"
+                elif r < 0.85:
+                    over = f"{rng.randint(0, 80)}.{rng.choice(_CENTS)}"
+                else:
+                    over = f"-{rng.randint(0, 40)}.{rng.choice(_CENTS)}"
+                avg = (
+                    "0.00"
+                    if rng.random() < 0.05
+                    else f"{rng.randint(1, 200)}.{rng.choice(_CENTS)}"
+                )
+                paras.append(
+                    f"<p>Producto {pid13}: {desc}, {qty} unidades a "
+                    f"${unit} con sobreprecio ${over} y promedio ${avg} "
+                    f"según el acta.</p>"
+                )
+                product_facts.append(
+                    (url, ts.date(), pid13, desc, qty, unit, over, avg)
+                )
+
         html = _HTML_TMPL.format(title=f"nota {pid}", pid=pid,
                                  paras="\n".join(paras)).encode("utf-8")
         pages.append({"url": url, "warc_ts": ts, "html": html,
@@ -366,9 +427,47 @@ def generate_corpus(n_pages: int, seed: int = 42,
     contacts_golden = sorted(
         {(canon[id(e)], "email", v) for e, v in contact_facts if id(e) in canon}
     )
+
+    # ---- product golden: mirror of plans/products.product_docs ----------
+    # (url, mentionsProduct, dotted id) triples + exact per-product docs
+    # aggregated the order-free way (A12-A15)
+    prod_agg: dict[str, dict] = {}
+    for url, date, pid13, desc, qty, unit_s, over_s, avg_s in product_facts:
+        pid = cbmei_py(pid13)
+        golden.add((url, "mentionsProduct", pid))
+        unit, over, avg = float(unit_s), float(over_s), float(avg_s)
+        a = prod_agg.setdefault(pid, {
+            "product_id": pid, "description": desc, "purchase_count": 0,
+            "purchase_quantity": 0, "purchase_amount": 0.0,
+            "_qty_price": 0.0, "amount_over_all": 0.0,
+            "amount_over_with_overcost": 0.0, "quantity_lost_all": 0.0,
+            "quantity_lost_with_overcost": 0.0,
+            "first_purchase_date": date, "last_purchase_date": date,
+        })
+        a["description"] = min(a["description"], desc)
+        a["purchase_count"] += 1
+        a["purchase_quantity"] += qty
+        a["purchase_amount"] += qty * unit
+        a["_qty_price"] += qty * unit
+        if over != 0:
+            a["amount_over_all"] += over
+            if over > 0:
+                a["amount_over_with_overcost"] += over
+            if avg != 0:
+                a["quantity_lost_all"] += over / avg
+                if over > 0:
+                    a["quantity_lost_with_overcost"] += over / avg
+        a["first_purchase_date"] = min(a["first_purchase_date"], date)
+        a["last_purchase_date"] = max(a["last_purchase_date"], date)
+    products_golden = []
+    for a in prod_agg.values():
+        a["avg_unit_price"] = a.pop("_qty_price") / a["purchase_quantity"]
+        products_golden.append(a)
+    products_golden.sort(key=lambda a: a["product_id"])
+
     aux = {"entities": ents, "classifier_override": override_rows,
            "memberships": membership_facts, "canonical": canon,
-           "contacts": contacts_golden}
+           "contacts": contacts_golden, "products": products_golden}
     return pages, golden, aux
 
 
@@ -410,4 +509,18 @@ def write_corpus_parquet(out_dir: str, n_pages: int, seed: int = 42,
     pq.write_table(pa.Table.from_pylist(ov, schema=pa.schema(
         [("name", pa.string()), ("type", pa.string())])),
         f"{out_dir}/classifier_override.parquet")
+    prod_schema = pa.schema([
+        ("product_id", pa.string()), ("description", pa.string()),
+        ("purchase_count", pa.int64()), ("purchase_quantity", pa.int64()),
+        ("purchase_amount", pa.float64()), ("avg_unit_price", pa.float64()),
+        ("amount_over_all", pa.float64()),
+        ("amount_over_with_overcost", pa.float64()),
+        ("quantity_lost_all", pa.float64()),
+        ("quantity_lost_with_overcost", pa.float64()),
+        ("first_purchase_date", pa.date32()), ("last_purchase_date", pa.date32()),
+    ])
+    pq.write_table(
+        pa.Table.from_pylist(aux["products"], schema=prod_schema),
+        f"{out_dir}/golden_products.parquet",
+    )
     return out_dir

@@ -52,6 +52,32 @@ CONTACT_RE = (
     "|tel[.:]?\\s+[0-9]{2,3}[- ][0-9]{4}[- ][0-9]{4})"
 )
 
+# product/item spans (≙ contract.items consumption, reference
+# extract.js:40-106): a procurement-report sentence carrying the item id,
+# description, quantity, unit price, overprice and reference average —
+# the webtext analogue of item.{id, description, quantity,
+# unit.value.amount, unit.value.amountOverpriceMxIMSS,
+# unit.value.valueAverageMxIMSS}. Description is LOWERCASE by grammar so
+# product sentences can never collide with the capitalized entity-mention
+# grammar. groups: 1=id 2=description 3=qty 4=unit price 5=overprice
+# 6=average value
+PRODUCT_RE = (
+    "Producto ([0-9]{8,13}): ([a-záéíóúñü ]+?),"
+    " ([0-9]+) unidades a \\$([0-9]+\\.[0-9]{2})"
+    " con sobreprecio \\$(-?[0-9]+\\.[0-9]{2})"
+    " y promedio \\$([0-9]+\\.[0-9]{2})"
+)
+
+# substring prescan gates, SHARED between the JVM (`detect_spans`) and
+# fused-Python (`detect_spans_fused`) extractors so the two can never
+# drift: a span regex only runs on pages containing one of its gate
+# tokens. test_mentions asserts every ROLE_RE alternative contains a
+# member gate token (adding e.g. 'secretario' without extending the gates
+# trips the test instead of silently dropping spans).
+MEMBER_GATE_TOKENS = ("titular", "president", "director", "gerente")
+CONTACT_GATE_TOKENS = ("@", "tel")
+PRODUCT_GATE_TOKENS = ("Producto ",)
+
 
 def detect_spans(pages: DataFrame, text_col: str = "text") -> DataFrame:
     """Fused single-pass extraction: ONE scan of `text` computes the
@@ -71,13 +97,13 @@ def detect_spans(pages: DataFrame, text_col: str = "text") -> DataFrame:
     identical output, pure CPU win at every scale.
     """
     t = F.col(text_col)
-    member_gate = (
-        t.contains("titular")
-        | t.contains("president")
-        | t.contains("director")
-        | t.contains("gerente")
-    )
-    contact_gate = t.contains("@") | t.contains("tel")
+
+    def _gate(tokens):
+        g = t.contains(tokens[0])
+        for tok in tokens[1:]:
+            g = g | t.contains(tok)
+        return g
+
     empty = F.array().cast("array<string>")
     return pages.select(
         "url",
@@ -85,11 +111,17 @@ def detect_spans(pages: DataFrame, text_col: str = "text") -> DataFrame:
         url_domain("url").alias("domain"),
         F.regexp_extract_all(t, F.lit(MENTION_RE), 0).alias("mention_spans"),
         F.when(
-            member_gate, F.regexp_extract_all(t, F.lit(MEMBERSHIP_RE), 0)
+            _gate(MEMBER_GATE_TOKENS),
+            F.regexp_extract_all(t, F.lit(MEMBERSHIP_RE), 0),
         ).otherwise(empty).alias("member_spans"),
         F.when(
-            contact_gate, F.regexp_extract_all(t, F.lit(CONTACT_RE), 0)
+            _gate(CONTACT_GATE_TOKENS),
+            F.regexp_extract_all(t, F.lit(CONTACT_RE), 0),
         ).otherwise(empty).alias("contact_spans"),
+        F.when(
+            _gate(PRODUCT_GATE_TOKENS),
+            F.regexp_extract_all(t, F.lit(PRODUCT_RE), 0),
+        ).otherwise(empty).alias("product_spans"),
     )
 
 
@@ -121,32 +153,40 @@ def detect_spans_fused(
     mention_pat = re.compile(MENTION_RE)
     member_pat = re.compile(MEMBERSHIP_RE)
     contact_pat = re.compile(CONTACT_RE)
+    product_pat = re.compile(PRODUCT_RE)
 
     @F.pandas_udf(
         "mention_spans array<string>, member_spans array<string>,"
-        " contact_spans array<string>"
+        " contact_spans array<string>, product_spans array<string>"
     )
     def _spans(html: pd.Series, text: pd.Series) -> pd.DataFrame:
-        ms, bs, cs = [], [], []
+        ms, bs, cs, ps = [], [], [], []
         for h, t in zip(html, text):
             if t is None:
                 t = extract_text_bytes(h) or ""
             ms.append(mention_pat.findall(t))
             bs.append(
                 [m.group(0) for m in member_pat.finditer(t)]
-                if (
-                    "titular" in t
-                    or "president" in t
-                    or "director" in t
-                    or "gerente" in t
-                )
+                if any(tok in t for tok in MEMBER_GATE_TOKENS)
                 else []
             )
             cs.append(
-                contact_pat.findall(t) if ("@" in t or "tel" in t) else []
+                contact_pat.findall(t)
+                if any(tok in t for tok in CONTACT_GATE_TOKENS)
+                else []
+            )
+            ps.append(
+                [m.group(0) for m in product_pat.finditer(t)]
+                if any(tok in t for tok in PRODUCT_GATE_TOKENS)
+                else []
             )
         return pd.DataFrame(
-            {"mention_spans": ms, "member_spans": bs, "contact_spans": cs}
+            {
+                "mention_spans": ms,
+                "member_spans": bs,
+                "contact_spans": cs,
+                "product_spans": ps,
+            }
         )
 
     text_expr = (
@@ -187,6 +227,47 @@ def surface_dim(spans: DataFrame) -> DataFrame:
     return (
         spans.select(F.explode("mention_spans").alias("surface"))
         .distinct()
+        .select(
+            "surface",
+            collapse_ws("surface").alias("name_norm"),
+            simple_name("surface").alias("entity_id"),
+        )
+        .filter(F.col("entity_id") != "")
+    )
+
+
+def surface_dim_batched(spans: DataFrame, max_task_dedup: int = 2_000_000) -> DataFrame:
+    """`surface_dim` with an Arrow-side pre-aggregation: surfaces are
+    deduped per task (across that task's batches) BEFORE the global
+    distinct, so the exchange carries one row per (task, distinct surface)
+    instead of one per mention occurrence — the mapInArrow analogue of a
+    map-side partial aggregate, ~10-100x fewer rows on a Zipf surface
+    distribution. Output is identical to `surface_dim` (same distinct set,
+    same normalization, tested in test_mentions); the per-task `seen` set
+    is capped at `max_task_dedup` entries (beyond it surfaces pass through
+    batch-deduped only — correctness unchanged, the global distinct still
+    collapses them)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _batches(it):
+        seen: set = set()
+        for batch in it:
+            uniq = pc.list_flatten(batch.column(0)).unique().to_pylist()
+            if len(seen) < max_task_dedup:
+                vals = [u for u in uniq if u not in seen]
+                seen.update(vals)
+            else:
+                vals = uniq
+            yield pa.record_batch(
+                [pa.array(vals, type=pa.string())], names=["surface"]
+            )
+
+    uniq_surfaces = spans.select("mention_spans").mapInArrow(
+        _batches, "surface string"
+    )
+    return (
+        uniq_surfaces.distinct()
         .select(
             "surface",
             collapse_ws("surface").alias("name_norm"),

@@ -69,6 +69,7 @@ class PipelineResult:
     area_nodes: DataFrame       # deduped area node table
     inst_regions: DataFrame     # (entity_id=canonical, region, gov_level, ...)
     contact_edges: DataFrame    # (canonical_id, contact_type, contact_value)
+    products: DataFrame         # product docs (A12-A15, plans/products.py)
 
 
 def build_triples(
@@ -101,7 +102,9 @@ def build_triples(
     # `max_broadcast_surfaces`; above it (or uncached) the join is left to
     # AQE's runtime-size decision so a 10^9-surface crawl can never OOM on
     # a forced broadcast.
-    dim = with_entity_type(surface_dim(spans), classifier_override)
+    from ocds_entity_extract_spark.operators.mentions import surface_dim_batched
+
+    dim = with_entity_type(surface_dim_batched(spans), classifier_override)
     dim_count = None
     if surface_broadcast == "force":
         use_broadcast = True
@@ -363,6 +366,30 @@ def build_triples(
         F.col("org_canon").alias("obj"),
     ).distinct()
 
+    # product entity kind (≙ contract-item consumption + createProduct,
+    # reference extract.js:40-140): product sentences -> typed item rows ->
+    # (url, mentionsProduct, product_id) triples + the per-product document
+    # table. Product ids are page-independent (CBMEI dotted ids), so the
+    # mention distinct is an exchange over the TINY product-bearing subset
+    # only; the doc aggregation is one partial-aggregated groupBy, computed
+    # lazily (not part of the triple DAG).
+    from ocds_entity_extract_spark.plans.products import (
+        product_docs,
+        products_from_spans,
+    )
+
+    items = products_from_spans(spans)
+    product_triples = (
+        items.select("url", "product_id")
+        .distinct()
+        .select(
+            F.col("url").alias("subj"),
+            F.lit("mentionsProduct").alias("pred"),
+            F.col("product_id").alias("obj"),
+        )
+    )
+    products = product_docs(items)
+
     # contact_details edges (≙ party.contactPoint -> contact_details,
     # reference extract.js:889-891): page-level contacts attributed to the
     # entities mentioned on that page. No broadcast hint: contacts is
@@ -380,8 +407,10 @@ def build_triples(
     )
 
     if small_triples is not None:
-        triples = canon_mentions.unionByName(member_triples).unionByName(
-            small_triples
+        triples = (
+            canon_mentions.unionByName(member_triples)
+            .unionByName(product_triples)
+            .unionByName(small_triples)
         )
     else:
         triples = (
@@ -389,6 +418,7 @@ def build_triples(
             .unionByName(sameas)
             .unionByName(member_triples)
             .unionByName(area_triples)
+            .unionByName(product_triples)
         )
     return PipelineResult(
         triples=triples,
@@ -400,4 +430,5 @@ def build_triples(
         area_nodes=areas_tbl,
         inst_regions=addrs,
         contact_edges=contact_edges,
+        products=products,
     )

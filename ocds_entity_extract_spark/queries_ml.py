@@ -1275,6 +1275,27 @@ def _kg_template_pages(docs):
             F.lit(" S.A. encabezó la reunión.</p>"),
         ),
     ).otherwise(F.lit(""))
+    over = (
+        F.when(d % 3 == 0, F.lit("0.00"))
+        .when(d % 3 == 1, F.concat((d % 4).cast("string"), F.lit(".25")))
+        .otherwise(F.lit("-1.75"))
+    )
+    prod = F.when(
+        d % 6 == 0,
+        F.concat(
+            F.lit("<p>Producto 4401"),
+            F.lpad((d % 25).cast("string"), 4, "0"),
+            F.lit("23456: material de curación, "),
+            (d % 9 + 1).cast("string"),
+            F.lit(" unidades a $"),
+            (d % 7 + 5).cast("string"),
+            F.lit(".50 con sobreprecio $"),
+            over,
+            F.lit(" y promedio $"),
+            (d % 5).cast("string"),
+            F.lit(".00 según el acta.</p>"),
+        ),
+    ).otherwise(F.lit(""))
     html = F.encode(
         F.concat(
             F.lit(
@@ -1287,6 +1308,7 @@ def _kg_template_pages(docs):
             F.lit("</p>"),
             inst,
             memb,
+            prod,
             F.lit("<p>"),
             F.col("text"),
             F.lit("</p></body></html>"),
@@ -1329,7 +1351,11 @@ def _kg_triples_oracle_sql() -> str:
         DEFAULT_NUM_HASHES,
         DEFAULT_PREFIX_LEN,
     )
-    from ocds_entity_extract_spark.operators.mentions import MEMBERSHIP_RE, MENTION_RE
+    from ocds_entity_extract_spark.operators.mentions import (
+        MEMBERSHIP_RE,
+        MENTION_RE,
+        PRODUCT_RE,
+    )
 
     kw = ", ".join(f"'{k}'" for k in INSTITUTION_KEYWORDS)
     sig_ctes, band_selects = _minhash_sig_ctes(
@@ -1370,6 +1396,20 @@ def _kg_triples_oracle_sql() -> str:
                         || ', presidente de Grupo Beta'
                         || CAST(doc_id % 15 AS VARCHAR)
                         || ' S.A. encabezó la reunión.'
+                   ELSE '' END)
+               || (CASE WHEN doc_id % 6 = 0
+                   THEN ' Producto 4401'
+                        || lpad(CAST(doc_id % 25 AS VARCHAR), 4, '0')
+                        || '23456: material de curación, '
+                        || CAST(doc_id % 9 + 1 AS VARCHAR)
+                        || ' unidades a $' || CAST(doc_id % 7 + 5 AS VARCHAR)
+                        || '.50 con sobreprecio $'
+                        || (CASE WHEN doc_id % 3 = 0 THEN '0.00'
+                                 WHEN doc_id % 3 = 1
+                                 THEN CAST(doc_id % 4 AS VARCHAR) || '.25'
+                                 ELSE '-1.75' END)
+                        || ' y promedio $' || CAST(doc_id % 5 AS VARCHAR)
+                        || '.00 según el acta.'
                    ELSE '' END)
                || ' ' || text AS text
       FROM documents
@@ -1484,6 +1524,22 @@ def _kg_triples_oracle_sql() -> str:
              coalesce(sd2.iso_code, 'MX-' || {slug('r.region')}) AS state_code
       FROM regions r
       LEFT JOIN statedim sd2 ON sd2.name_slug = {slug('r.region')}
+    ),
+    prodm AS (
+      SELECT url, unnest(regexp_extract_all(text, '{PRODUCT_RE}')) AS pspan
+      FROM norm
+    ),
+    prodid AS (
+      SELECT url, regexp_extract(pspan, '{PRODUCT_RE}', 1) AS pid FROM prodm
+    ),
+    prodt AS (
+      SELECT DISTINCT url,
+             CASE WHEN strpos(pid, '.') > 0 THEN pid
+                  WHEN length(pid) >= 12
+                  THEN substr(pid, 1, 3) || '.' || substr(pid, 4, 3) || '.'
+                       || substr(pid, 7, 4) || '.' || substr(pid, 11)
+                  ELSE pid END AS product_id
+      FROM prodid WHERE pid <> ''
     )
     SELECT subj, pred, obj FROM (
       SELECT DISTINCT o.url AS subj, 'mentions' AS pred, mp.canonical_id AS obj
@@ -1510,6 +1566,9 @@ def _kg_triples_oracle_sql() -> str:
         UNION
         SELECT state_code AS subj, 'partOf' AS pred, 'mx' AS obj FROM rcode
       )
+      UNION ALL
+      SELECT url AS subj, 'mentionsProduct' AS pred, product_id AS obj
+      FROM prodt
     )
     """
 
@@ -1593,6 +1652,20 @@ def _kg_entities_oracle_sql() -> str:
                         || ', presidente de Grupo Beta'
                         || CAST(doc_id % 15 AS VARCHAR)
                         || ' S.A. encabezó la reunión.'
+                   ELSE '' END)
+               || (CASE WHEN doc_id % 6 = 0
+                   THEN ' Producto 4401'
+                        || lpad(CAST(doc_id % 25 AS VARCHAR), 4, '0')
+                        || '23456: material de curación, '
+                        || CAST(doc_id % 9 + 1 AS VARCHAR)
+                        || ' unidades a $' || CAST(doc_id % 7 + 5 AS VARCHAR)
+                        || '.50 con sobreprecio $'
+                        || (CASE WHEN doc_id % 3 = 0 THEN '0.00'
+                                 WHEN doc_id % 3 = 1
+                                 THEN CAST(doc_id % 4 AS VARCHAR) || '.25'
+                                 ELSE '-1.75' END)
+                        || ' y promedio $' || CAST(doc_id % 5 AS VARCHAR)
+                        || '.00 según el acta.'
                    ELSE '' END)
                || ' ' || text AS text
       FROM documents
@@ -1923,3 +1996,134 @@ def q_dedup_near_embedding_lsh(spark, sf_dir):
         .filter(F.col("score") >= 0.45)
         .select("vid_a", "vid_b", "score")
     )
+
+
+def _kg_tpl_text_sql() -> str:
+    """The template page text as one DuckDB expression — the same segments
+    `_kg_template_pages` concatenates (company surface + hot entity +
+    place-suffixed institution + membership sentence + product sentence +
+    free-text tail), so an oracle over any span family can re-derive the
+    expected extracted text exactly."""
+    state_case = (
+        "CASE CAST(doc_id % 4 AS INT) "
+        + " ".join(
+            f"WHEN {i} THEN '{s}'" for i, s in enumerate(_KG_TPL_STATES[:-1])
+        )
+        + f" ELSE '{_KG_TPL_STATES[-1]}' END"
+    )
+    return f"""'doc hoy Grupo Alfa' || CAST(doc_id % 50 AS VARCHAR)
+               || (CASE WHEN doc_id % 3 = 0 THEN ' S.A.' ELSE '' END)
+               || ' anunció resultados.'
+               || (CASE WHEN doc_id % 10 = 0
+                   THEN ' También participó Grupo Alfa0 en la sesión.'
+                   ELSE '' END)
+               || (CASE WHEN doc_id % 5 = 0
+                   THEN ' Secretaría de Salud' || CAST(doc_id % 40 AS VARCHAR)
+                        || ' de ' || {state_case} || ' informó.'
+                   ELSE '' END)
+               || (CASE WHEN doc_id % 7 = 0
+                   THEN ' Juan Pérez' || CAST(doc_id % 30 AS VARCHAR)
+                        || ', presidente de Grupo Beta'
+                        || CAST(doc_id % 15 AS VARCHAR)
+                        || ' S.A. encabezó la reunión.'
+                   ELSE '' END)
+               || (CASE WHEN doc_id % 6 = 0
+                   THEN ' Producto 4401'
+                        || lpad(CAST(doc_id % 25 AS VARCHAR), 4, '0')
+                        || '23456: material de curación, '
+                        || CAST(doc_id % 9 + 1 AS VARCHAR)
+                        || ' unidades a $' || CAST(doc_id % 7 + 5 AS VARCHAR)
+                        || '.50 con sobreprecio $'
+                        || (CASE WHEN doc_id % 3 = 0 THEN '0.00'
+                                 WHEN doc_id % 3 = 1
+                                 THEN CAST(doc_id % 4 AS VARCHAR) || '.25'
+                                 ELSE '-1.75' END)
+                        || ' y promedio $' || CAST(doc_id % 5 AS VARCHAR)
+                        || '.00 según el acta.'
+                   ELSE '' END)
+               || ' ' || text"""
+
+
+def _kg_products_oracle_sql() -> str:
+    """DuckDB twin of the product-document branch (plans/products.py,
+    reference extract.js:40-140): PRODUCT_RE spans over the template text,
+    CBMEI dotted ids (getProductID, extract.js:142-153), and the order-free
+    A12-A15 aggregates — decomposed running average, the two conditional
+    overprice sums with their ≠0/>0/avg≠0 gates, min/max purchase dates."""
+    from ocds_entity_extract_spark.operators.mentions import PRODUCT_RE
+
+    return rf"""
+    WITH pages AS (
+      SELECT 'https://docs.example.mx/' || CAST(doc_id AS VARCHAR) AS url,
+             TIMESTAMP '2025-01-01 00:00:00'
+               + doc_id * INTERVAL 1 SECOND AS warc_ts,
+             {_kg_tpl_text_sql()} AS text
+      FROM documents
+    ),
+    norm AS (
+      SELECT url, warc_ts,
+             trim(regexp_replace(text, '\s+', ' ', 'g')) AS text
+      FROM pages
+    ),
+    pm AS (
+      SELECT url, warc_ts,
+             unnest(regexp_extract_all(text, '{PRODUCT_RE}')) AS s
+      FROM norm
+    ),
+    it AS (
+      SELECT url, warc_ts,
+             regexp_extract(s, '{PRODUCT_RE}', 1) AS pid,
+             regexp_extract(s, '{PRODUCT_RE}', 2) AS description,
+             CAST(regexp_extract(s, '{PRODUCT_RE}', 3) AS BIGINT) AS quantity,
+             CAST(regexp_extract(s, '{PRODUCT_RE}', 4) AS DOUBLE) AS unit_price,
+             CAST(regexp_extract(s, '{PRODUCT_RE}', 5) AS DOUBLE) AS overprice,
+             CAST(regexp_extract(s, '{PRODUCT_RE}', 6) AS DOUBLE) AS avg_value
+      FROM pm
+    ),
+    typed AS (
+      SELECT *,
+             CASE WHEN strpos(pid, '.') > 0 THEN pid
+                  WHEN length(pid) >= 12
+                  THEN substr(pid, 1, 3) || '.' || substr(pid, 4, 3) || '.'
+                       || substr(pid, 7, 4) || '.' || substr(pid, 11)
+                  ELSE pid END AS product_id
+      FROM it WHERE pid <> ''
+    )
+    SELECT product_id,
+           min(description) AS description,
+           CAST(count(*) AS BIGINT) AS purchase_count,
+           CAST(sum(quantity) AS BIGINT) AS purchase_quantity,
+           CAST(sum(quantity * unit_price) AS DOUBLE) AS purchase_amount,
+           CAST(sum(quantity * unit_price) / sum(quantity) AS DOUBLE)
+             AS avg_unit_price,
+           CAST(sum(CASE WHEN overprice <> 0 THEN overprice ELSE 0 END)
+                AS DOUBLE) AS amount_over_all,
+           CAST(sum(CASE WHEN overprice > 0 THEN overprice ELSE 0 END)
+                AS DOUBLE) AS amount_over_with_overcost,
+           CAST(sum(CASE WHEN overprice <> 0 AND avg_value <> 0
+                         THEN overprice / avg_value ELSE 0 END)
+                AS DOUBLE) AS quantity_lost_all,
+           CAST(sum(CASE WHEN overprice > 0 AND avg_value <> 0
+                         THEN overprice / avg_value ELSE 0 END)
+                AS DOUBLE) AS quantity_lost_with_overcost,
+           strftime(min(warc_ts), '%Y-%m-%d') AS first_purchase_date,
+           strftime(max(warc_ts), '%Y-%m-%d') AS last_purchase_date
+    FROM typed GROUP BY product_id
+    """
+
+
+@query("kg_pipeline_products", _kg_products_oracle_sql())
+def q_kg_pipeline_products(spark, sf_dir):
+    """The flagship's PRODUCT entity kind end-to-end under the full
+    value-hash gate: template pages -> real build_triples (fused span
+    extraction incl. PRODUCT_RE, typed item parse, one partial-aggregated
+    groupBy) -> per-product documents with the reference's counters,
+    decomposed average, conditional overprice sums and purchase-date range
+    (A12-A15, reference extract.js:40-140) — compared value-for-value
+    against _kg_products_oracle_sql."""
+    from ocds_entity_extract_spark.plans.pipeline import build_triples
+
+    docs = _t(spark, sf_dir, "documents")
+    return build_triples(spark, _kg_template_pages(docs)).products.withColumn(
+        "first_purchase_date", F.col("first_purchase_date").cast("string")
+    ).withColumn("last_purchase_date", F.col("last_purchase_date").cast("string"))

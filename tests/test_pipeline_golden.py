@@ -49,12 +49,40 @@ def test_overall_pr(pipeline_run):
 
 def test_per_predicate_pr(pipeline_run):
     got, golden, _ = pipeline_run
-    for pred in ("mentions", "type", "sameAs", "memberOf", "inArea", "partOf"):
+    for pred in ("mentions", "type", "sameAs", "memberOf", "inArea", "partOf",
+                 "mentionsProduct"):
         g = {t for t in got if t[1] == pred}
         gg = {t for t in golden if t[1] == pred}
         precision, recall = _pr(g, gg)
         assert precision >= 0.90, (pred, precision, sorted(g - gg)[:10])
         assert recall >= 0.90, (pred, recall, sorted(gg - g)[:10])
+
+
+def test_product_docs_exact(spark, small_corpus, pipeline_run):
+    """Product documents (A12-A15, reference extract.js:40-140) must equal
+    the datagen golden EXACTLY: every counter, both conditional overprice
+    sums, the decomposed running average and the min/max purchase dates
+    (float fields compared at 1e-9 — the Spark sums and the Python fold
+    add the same addends in different orders)."""
+    _, _, aux = small_corpus
+    _, _, res = pipeline_run
+    got = {r["product_id"]: r.asDict() for r in res.products.collect()}
+    exp = {a["product_id"]: a for a in aux["products"]}
+    assert got.keys() == exp.keys() and len(got) > 5
+    float_cols = (
+        "purchase_amount", "avg_unit_price", "amount_over_all",
+        "amount_over_with_overcost", "quantity_lost_all",
+        "quantity_lost_with_overcost",
+    )
+    for pid, e in exp.items():
+        g = got[pid]
+        assert g["description"] == e["description"], pid
+        assert g["purchase_count"] == e["purchase_count"], pid
+        assert g["purchase_quantity"] == e["purchase_quantity"], pid
+        assert g["first_purchase_date"] == e["first_purchase_date"], pid
+        assert g["last_purchase_date"] == e["last_purchase_date"], pid
+        for c in float_cols:
+            assert abs(g[c] - e[c]) < 1e-9, (pid, c, g[c], e[c])
 
 
 def test_permutation_invariance(spark, small_corpus):
