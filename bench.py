@@ -47,6 +47,33 @@ HEADLINE = [
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "60000"))
 
+# round-2 medians-equivalent (BENCH_r02 best-of-2) for regression callouts
+_R02 = {
+    "pricing_summary": 2.794, "orders_lineitem_join": 1.502,
+    "dim_broadcast_join": 0.836, "exists_semi_join": 0.758,
+    "first_order_window": 0.93, "salted_group_agg": 0.505,
+    "supplier_date_range": 0.315, "dedup_exact": 0.266,
+    "dedup_minhash_docs": 5.503, "simhash_docs": 0.275,
+    "ann_topk_bruteforce": 0.925, "ann_topk_lsh": 1.335,
+    "ann_topk_ivf": 1.808, "token_stats_total": 0.255,
+    "doc_fingerprints": 0.233, "multimodal_decode_stub": 2.884,
+    "dedup_clusters": 6.523, "kg_merged_entities": 4.222,
+    "kg_pipeline_triples": 9.164, "events_sessionize": 0.884,
+    "asof_join_events": 0.483, "corpus_curation": 0.843,
+    "kg_pipeline": 12.955,
+}
+
+
+def _regressions(timings: dict[str, float], factor: float = 1.3) -> dict:
+    """Queries whose median moved > `factor`x vs the round-2 record —
+    called out in the JSON so a regression can't hide in the total."""
+    out = {}
+    for k, v in timings.items():
+        base = _R02.get(k)
+        if base and v > base * factor:
+            out[k] = {"r02": base, "now": v, "ratio": round(v / base, 2)}
+    return out
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -61,17 +88,31 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
     timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
     total = 0.0
+    # median of >= 3 reps per query: single-rep (and best-of-2) numbers on
+    # a co-tenant box cannot separate plan regressions from ±25-30% window
+    # noise (round-2 finding); the median is the steady-state cost, the min
+    # is reported alongside as the least-contaminated floor
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        el = time.time() - t0
-        timings[name] = round(el, 3)
-        total += el
-        print(f"# {name}: {n} rows in {el:.2f}s", file=sys.stderr)
+        els = []
+        for rep in range(reps):
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            els.append(time.time() - t0)
+        els.sort()
+        med = els[len(els) // 2] if reps % 2 else (els[reps // 2 - 1] + els[reps // 2]) / 2
+        timings[name] = round(med, 3)
+        timings_min[name] = round(els[0], 3)
+        total += med
+        print(
+            f"# {name}: {n} rows, median {med:.2f}s min {els[0]:.2f}s"
+            f" ({reps} reps)",
+            file=sys.stderr,
+        )
 
     # ANN quality: recall@10 vs brute force, averaged over 3 query ids.
     # Context for reading the number: this corpus's per-query top-10 sits
@@ -89,11 +130,14 @@ def main() -> None:
     lsh_r, lsh2_r, ivf_r = [], [], []
     for qid in (0, 17, 33):
         bf = {r["vec_id"] for r in ann_topk_bruteforce(emb, qid, 10).collect()}
+        # DEFAULT path (probe radius 2 / n_probe 8 since round 3) is the
+        # headline recall; radius 1 kept as the candidate-fraction
+        # diagnostic
         lsh = {r["vec_id"] for r in ann_topk_lsh(emb, qid, 10, n_planes=4, dim=64).collect()}
         lsh2 = {
             r["vec_id"]
             for r in ann_topk_lsh(
-                emb, qid, 10, n_planes=4, dim=64, probe_hamming=2
+                emb, qid, 10, n_planes=4, dim=64, probe_hamming=1
             ).collect()
         }
         ivf = {r["vec_id"] for r in ann_topk_ivf(emb, qid, 10).collect()}
@@ -105,8 +149,9 @@ def main() -> None:
     ann_recall2 = sum(lsh2_r) / len(lsh2_r)
     ivf_recall = sum(ivf_r) / len(ivf_r)
     print(
-        f"# ann recall@10 vs brute force (3 queries): lsh(h<=1)={ann_recall:.2f} "
-        f"lsh(h<=2)={ann_recall2:.2f} ivf={ivf_recall:.2f}",
+        f"# ann recall@10 vs brute force (3 queries): lsh(default h<=2)="
+        f"{ann_recall:.2f} lsh(h<=1)={ann_recall2:.2f} ivf(default n_probe=8)="
+        f"{ivf_recall:.2f}",
         file=sys.stderr,
     )
 
@@ -149,13 +194,16 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": timings_min,
+                "reps": reps,
+                "regressions_vs_r02": _regressions(timings),
                 "sf": sf,
                 "kg_pages": KG_PAGES,
                 "kg_triples": n_triples,
                 "triples_per_sec": round(tps, 1),
                 "pages_per_sec": round(pps, 1),
                 "ann_recall_at_10": round(ann_recall, 3),
-                "ann_recall_at_10_probe2": round(ann_recall2, 3),
+                "ann_recall_at_10_probe1": round(ann_recall2, 3),
                 "ann_ivf_recall_at_10": round(ivf_recall, 3),
                 "cpus": cpus,
             }

@@ -44,6 +44,17 @@ def portable_hash64(col) -> F.Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
 
 
+def fast_hash64(col) -> F.Column:
+    """xxhash64 production hash — ~5x cheaper per shingle than the md5
+    path but with NO DuckDB twin, so operators using it get rows-only
+    verification. The affine minhash family composes identically (inputs
+    are pre-reduced mod p downstream); `portable_hash64` stays the
+    oracle-checked default, and pair-output parity between the two
+    families is pytest-gated (test_dedup_similarity)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.xxhash64(c)
+
+
 def portable_hash64_sql(expr: str) -> str:
     """DuckDB twin of ``portable_hash64`` over any VARCHAR expression."""
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"

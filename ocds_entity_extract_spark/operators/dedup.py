@@ -42,6 +42,7 @@ def minhash_candidate_pairs(
     max_bucket: int = 64,
     jaccard_threshold: float = 0.5,
     broadcast_pairs: bool = True,
+    hash_family: str = "portable",
 ) -> DataFrame:
     """documents -> verified near-dup pairs (id_a, id_b, jaccard).
 
@@ -64,11 +65,22 @@ def minhash_candidate_pairs(
     reproduces the FULL path — shingles, signatures, banding, bucket cap,
     exact-Jaccard verification — value-for-value.
     """
-    from ocds_entity_extract_spark.functions.phash import portable_hash64
+    from ocds_entity_extract_spark.functions.phash import (
+        fast_hash64,
+        portable_hash64,
+    )
     from ocds_entity_extract_spark.operators.linking import (
         _lsh_pairs,
         minhash_signature_from_hashes,
     )
+
+    # hash_family='fast' swaps the per-shingle md5 for xxhash64 — the
+    # production path at 100 TB (md5 buys DuckDB value-hash parity, not
+    # quality). Signatures/buckets differ between families, but the
+    # verified pair OUTPUT is equality-tested between the two in
+    # test_dedup_similarity; the exact-Jaccard verification is on the
+    # chosen family's hashed shingle sets either way.
+    hash_fn = fast_hash64 if hash_family == "fast" else portable_hash64
 
     # Right-size the scan: a small/compacted parquet input can come back as
     # fewer partitions than cores (one file => ONE task), serializing the
@@ -91,7 +103,7 @@ def minhash_candidate_pairs(
         with_word_shingles(src, text_col)
         .select(
             id_col,
-            F.transform("shingles", lambda s: portable_hash64(s)).alias("hs"),
+            F.transform("shingles", lambda s: hash_fn(s)).alias("hs"),
         )
         .localCheckpoint(eager=False)
     )

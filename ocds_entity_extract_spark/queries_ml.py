@@ -455,9 +455,11 @@ def q_ann_topk_bruteforce(spark, sf_dir):
 
 
 def _ann_lsh_oracle_sql(dim: int = 64, n_planes: int = 4, seed: int = 7) -> str:
-    """DuckDB twin of ann_topk_lsh: the SAME seeded hyperplanes (plain
-    literals in both plans) -> sign-pattern bucket -> multi-probe (query
-    bucket + every hamming-1 neighbor) -> bucket-local top-k."""
+    """DuckDB twin of ann_topk_lsh AT ITS DEFAULTS: the SAME seeded
+    hyperplanes (plain literals in both plans) -> sign-pattern bucket ->
+    multi-probe radius 2 (query bucket + every hamming-1 and hamming-2
+    neighbor — the operator's default since recall@10 at radius 1 was
+    0.5) -> bucket-local top-k."""
     from ocds_entity_extract_spark.operators.similarity import _hyperplanes
 
     planes = _hyperplanes(dim, n_planes, seed)
@@ -466,9 +468,14 @@ def _ann_lsh_oracle_sql(dim: int = 64, n_planes: int = 4, seed: int = 7) -> str:
         f"THEN {1 << i} ELSE 0 END"
         for i, p in enumerate(planes)
     )
+    masks = [1 << i for i in range(n_planes)] + [
+        (1 << i) | (1 << j)
+        for i in range(n_planes)
+        for j in range(i + 1, n_planes)
+    ]
     probe = " OR ".join(
         ["e.bucket = q.qbucket"]
-        + [f"e.bucket = xor(q.qbucket, {1 << i})" for i in range(n_planes)]
+        + [f"e.bucket = xor(q.qbucket, {m})" for m in masks]
     )
     return f"""
     WITH b AS (
@@ -498,7 +505,7 @@ def q_ann_topk_lsh(spark, sf_dir):
     return ann_topk_lsh(e, query_vec_id=0, k=10, n_planes=4, dim=EMBEDDING_DIM)
 
 
-def _ann_ivf_oracle_sql(n_centroids: int = 16, n_probe: int = 4) -> str:
+def _ann_ivf_oracle_sql(n_centroids: int = 16, n_probe: int = 8) -> str:
     """DuckDB twin of ann_topk_ivf: centroids are embedding rows (vec_id
     1..K), so no literals are needed — both engines derive assignment and
     probe sets from the same data with identical (rounded sim, cid)
@@ -545,7 +552,7 @@ def q_ann_topk_ivf(spark, sf_dir):
     from ocds_entity_extract_spark.operators.similarity import ann_topk_ivf
 
     e = _t(spark, sf_dir, "embeddings")
-    return ann_topk_ivf(e, query_vec_id=0, k=10, n_centroids=16, n_probe=4)
+    return ann_topk_ivf(e, query_vec_id=0, k=10, n_centroids=16)
 
 
 # =====================================================================

@@ -48,6 +48,47 @@ def test_minhash_finds_near_dups(spark):
     assert all({a, b} != {3, 5} for a, b in pairs)
 
 
+def test_minhash_fast_family_pair_parity(spark, small_corpus):
+    """The xxhash64 production family vs the md5 oracle family: the
+    verification metric is family-INDEPENDENT (exact Jaccard over the
+    distinct shingle sets — 64-bit hash collisions are negligible), so
+    every pair both families surface must carry the identical jaccard, and
+    clear near-dups (>= 0.7, where 2-row banding recall is ~1) must be
+    found by BOTH. At the 0.5 detection threshold LSH banding is
+    probabilistic per family, so borderline pairs may differ — bounded to
+    a small fraction of the union."""
+    from ocds_entity_extract_spark.functions.html import extract_text_bytes
+
+    def pairs(df, fam):
+        return {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in minhash_candidate_pairs(df, hash_family=fam).collect()
+        }
+
+    toy = _docs(spark)
+    assert pairs(toy, "portable") == pairs(toy, "fast") != {}
+
+    pages, _, _ = small_corpus
+    texts = [extract_text_bytes(p["html"]) for p in pages[:120]]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    # plant near-dups: one-word perturbations of every 4th text
+    rows += [
+        (1000 + i, t.replace("hoy", "ayer", 1))
+        for i, t in enumerate(texts)
+        if i % 4 == 0
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    a, b = pairs(corpus, "portable"), pairs(corpus, "fast")
+    common = a.keys() & b.keys()
+    assert len(common) > 10
+    assert all(a[k] == b[k] for k in common)          # same exact jaccard
+    hi_a = {k for k, j in a.items() if j >= 0.7}
+    hi_b = {k for k, j in b.items() if j >= 0.7}
+    assert hi_a == hi_b                                # clear dups identical
+    sym = (a.keys() | b.keys()) - common
+    assert len(sym) <= 0.15 * len(a.keys() | b.keys()), (len(sym), len(common))
+
+
 def test_simhash_properties(spark):
     rows = {r["doc_id"]: r["simhash"] for r in with_simhash(_docs(spark)).collect()}
     assert rows[1] == rows[4]            # identical text -> identical signature
