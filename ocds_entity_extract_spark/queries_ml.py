@@ -1169,9 +1169,273 @@ def _kg_pages(spark, n_pages: int = 300):
     return spark.createDataFrame(pages, schema=PAGES_SCHEMA), aux
 
 
-@query("kg_triples")  # rows-only
+_SLUG_SQL = (
+    "trim(regexp_replace(lower(strip_accents({e})), '[^a-z0-9]+', '-', 'g'), '-')"
+)
+
+
+def _kg_seed_pages_values_sql(n_pages: int = 300) -> str:
+    """The seeded datagen corpus as a DuckDB VALUES table of
+    (url, extracted text). The html -> text step uses the pinned Python
+    extractor (`extract_text_bytes`, golden-file + HTMLParser-parity
+    locked) at ORACLE-BUILD time, so everything downstream — mention/
+    membership/product regexes, slugging, minhash/LSH/CC, areas — is an
+    INDEPENDENT DuckDB re-computation over the exact page texts the
+    pipeline's own extractor produces."""
+    from ocds_entity_extract_spark.datagen import generate_corpus
+    from ocds_entity_extract_spark.functions.html import extract_text_bytes
+
+    pages, _, _ = generate_corpus(n_pages=n_pages, seed=42)
+
+    def q(v: str) -> str:
+        return "'" + v.replace("'", "''") + "'"
+
+    rows = ",\n      ".join(
+        f"({q(pg['url'])}, {q(extract_text_bytes(pg['html']) or '')})"
+        for pg in pages
+    )
+    return f"(VALUES\n      {rows}) AS pages(url, text)"
+
+
+def _kg_seed_override_values_sql(n_pages: int = 300) -> str:
+    """classifier_override rows (name_norm -> type, last-write-wins) as a
+    VALUES dim — the reference's in-memory classifier dict."""
+    import re as _re
+
+    from ocds_entity_extract_spark.datagen import generate_corpus
+
+    _, _, aux = generate_corpus(n_pages=n_pages, seed=42)
+    last: dict[str, str] = {}
+    for row in aux["classifier_override"]:
+        last[_re.sub(r"\s+", " ", row["name"]).strip()] = row["type"]
+    if not last:
+        return "(VALUES ('__none__', 'company')) AS ov(name_norm, override_type)"
+    rows = ", ".join(
+        f"('{n}', '{t}')" for n, t in sorted(last.items())
+    )
+    return f"(VALUES {rows}) AS ov(name_norm, override_type)"
+
+
+def _kg_seeded_triples_oracle_sql(n_pages: int = 300) -> str:
+    """DuckDB twin of the FULL build_triples plan on the SEEDED corpus
+    (the same 300 pages q_kg_triples runs, override included): mention
+    extraction -> surface-level classification with the override dim ->
+    slug universe -> portable-md5 minhash -> capped LSH + prefix blocking
+    -> containment verification -> recursive transitive closure ->
+    mentions/type/sameAs/memberOf/area/product triples. Same machinery as
+    _kg_triples_oracle_sql, applied to real datagen pages instead of the
+    template — closing the last rows-only gap in the registry."""
+    from ocds_entity_extract_spark.functions.classify import (
+        COMPANY_SUFFIX_SLUG_RE,
+        INSTITUTION_KEYWORDS,
+        _slug_py,
+    )
+    from ocds_entity_extract_spark.functions.geo import MX_STATES, MX_STATE_ALIASES
+    from ocds_entity_extract_spark.operators.linking import (
+        DEFAULT_BAND_SIZE,
+        DEFAULT_CONTAINMENT_THRESHOLD,
+        DEFAULT_MAX_BUCKET,
+        DEFAULT_MIN_INTERSECT,
+        DEFAULT_NUM_HASHES,
+        DEFAULT_PREFIX_LEN,
+    )
+    from ocds_entity_extract_spark.operators.mentions import (
+        MEMBERSHIP_RE,
+        MENTION_RE,
+        PRODUCT_RE,
+    )
+
+    kw = ", ".join(f"'{k}'" for k in INSTITUTION_KEYWORDS)
+    sig_ctes, band_selects = _minhash_sig_ctes(
+        "shw", DEFAULT_NUM_HASHES, DEFAULT_BAND_SIZE
+    )
+    dim_rows = [(n, c, _slug_py(n)) for n, c in MX_STATES] + [
+        (alias, dict(MX_STATES)[canon], _slug_py(alias))
+        for alias, canon in MX_STATE_ALIASES
+    ]
+    statedim = ", ".join(f"('{n}', '{c}', '{s}')" for n, c, s in dim_rows)
+    slug = lambda e: _SLUG_SQL.format(e=e)  # noqa: E731
+    return rf"""
+    WITH RECURSIVE pages AS (
+      SELECT url, text FROM {_kg_seed_pages_values_sql(n_pages)}
+    ),
+    m AS (
+      SELECT url, unnest(regexp_extract_all(text, '{MENTION_RE}')) AS surface
+      FROM pages
+    ),
+    occ AS (
+      SELECT url, surface, {slug('surface')} AS entity_id FROM m
+      WHERE {slug('surface')} <> ''
+    ),
+    idu AS (SELECT DISTINCT entity_id AS id FROM occ),
+    shw AS (
+      SELECT id, list_distinct([substr(id, i, 3)
+                 for i in range(1, greatest(length(id) - 2, 1) + 1)]) AS shingles
+      FROM idu
+    ),{sig_ctes},
+    bands AS (
+      {band_selects}
+    ),
+    capped AS (
+      SELECT * FROM (
+        SELECT *, count(*) OVER (PARTITION BY band_id, band_hash) AS bsz FROM bands
+      ) WHERE bsz <= {DEFAULT_MAX_BUCKET}
+    ),
+    lshp AS (
+      SELECT DISTINCT a.id AS src, b.id AS dst
+      FROM capped a JOIN capped b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.id < b.id
+    ),
+    pfx AS (
+      SELECT id, substr(id, 1, {DEFAULT_PREFIX_LEN}) AS pfx FROM idu
+      WHERE length(id) >= {DEFAULT_PREFIX_LEN}
+    ),
+    pcap AS (
+      SELECT * FROM (
+        SELECT *, count(*) OVER (PARTITION BY pfx) AS bsz FROM pfx
+      ) WHERE bsz <= {DEFAULT_MAX_BUCKET}
+    ),
+    pfxp AS (
+      SELECT DISTINCT a.id AS src, b.id AS dst
+      FROM pcap a JOIN pcap b ON a.pfx = b.pfx AND a.id < b.id
+    ),
+    cand AS (SELECT src, dst FROM lshp UNION SELECT src, dst FROM pfxp),
+    edges AS (
+      SELECT c.src, c.dst FROM cand c
+      JOIN hsh ha ON ha.id = c.src
+      JOIN hsh hb ON hb.id = c.dst
+      WHERE len(list_intersect(ha.hs, hb.hs)) >= {DEFAULT_MIN_INTERSECT}
+        AND CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+            / least(len(ha.hs), len(hb.hs)) >= {DEFAULT_CONTAINMENT_THRESHOLD}
+    ),
+    sym AS (
+      SELECT src AS a, dst AS b FROM edges
+      UNION ALL
+      SELECT dst AS a, src AS b FROM edges
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+    ),
+    comp AS (
+      SELECT src AS member, least(src, min(dst)) AS canonical
+      FROM reach GROUP BY src
+    ),
+    mapping AS (
+      SELECT i.id AS entity_id, coalesce(c.canonical, i.id) AS canonical_id
+      FROM idu i LEFT JOIN comp c ON c.member = i.id
+    ),
+    surf AS (
+      SELECT DISTINCT
+             trim(regexp_replace(surface, '\s+', ' ', 'g')) AS name_norm,
+             entity_id
+      FROM occ
+    ),
+    sranks AS (
+      SELECT sf.entity_id,
+             CASE coalesce(
+                    ov.override_type,
+                    CASE WHEN split_part(sf.entity_id, '-', 1) IN ({kw})
+                         THEN 'institution'
+                         WHEN regexp_matches(sf.entity_id,
+                                             '{COMPANY_SUFFIX_SLUG_RE}')
+                         THEN 'company'
+                         ELSE 'person' END)
+               WHEN 'institution' THEN 3 WHEN 'company' THEN 2 ELSE 1
+             END AS rnk
+      FROM surf sf
+      LEFT JOIN {_kg_seed_override_values_sql(n_pages)}
+        ON sf.name_norm = ov.name_norm
+    ),
+    crank AS (
+      SELECT mp.canonical_id, max(r.rnk) AS rnk
+      FROM sranks r JOIN mapping mp ON r.entity_id = mp.entity_id
+      GROUP BY mp.canonical_id
+    ),
+    mm AS (
+      SELECT url, unnest(regexp_extract_all(text, '{MEMBERSHIP_RE}')) AS mspan
+      FROM pages
+    ),
+    medges AS (
+      SELECT {slug(f"regexp_extract(mspan, '{MEMBERSHIP_RE}', 1)")} AS person_id,
+             {slug(f"regexp_extract(mspan, '{MEMBERSHIP_RE}', 3)")} AS org_id
+      FROM mm
+    ),
+    statedim(state_name, iso_code, name_slug) AS (VALUES {statedim}),
+    ia AS (
+      SELECT mp.canonical_id, mp.entity_id AS alias_slug
+      FROM mapping mp JOIN crank cr ON mp.canonical_id = cr.canonical_id
+      WHERE cr.rnk = 3
+    ),
+    amatch AS (
+      SELECT ia.canonical_id, sd.state_name
+      FROM ia JOIN statedim sd ON ia.alias_slug LIKE '%-de-' || sd.name_slug
+    ),
+    regions AS (
+      SELECT canonical_id, min(state_name) AS region FROM amatch
+      GROUP BY canonical_id
+    ),
+    rcode AS (
+      SELECT r.canonical_id,
+             coalesce(sd2.iso_code, 'MX-' || {slug('r.region')}) AS state_code
+      FROM regions r
+      LEFT JOIN statedim sd2 ON sd2.name_slug = {slug('r.region')}
+    ),
+    prodm AS (
+      SELECT url, unnest(regexp_extract_all(text, '{PRODUCT_RE}')) AS pspan
+      FROM pages
+    ),
+    prodid AS (
+      SELECT url, regexp_extract(pspan, '{PRODUCT_RE}', 1) AS pid FROM prodm
+    ),
+    prodt AS (
+      SELECT DISTINCT url,
+             CASE WHEN strpos(pid, '.') > 0 THEN pid
+                  WHEN length(pid) >= 12
+                  THEN substr(pid, 1, 3) || '.' || substr(pid, 4, 3) || '.'
+                       || substr(pid, 7, 4) || '.' || substr(pid, 11)
+                  ELSE pid END AS product_id
+      FROM prodid WHERE pid <> ''
+    )
+    SELECT subj, pred, obj FROM (
+      SELECT DISTINCT o.url AS subj, 'mentions' AS pred, mp.canonical_id AS obj
+      FROM occ o JOIN mapping mp ON o.entity_id = mp.entity_id
+      UNION ALL
+      SELECT canonical_id AS subj, 'type' AS pred,
+             CASE rnk WHEN 3 THEN 'institution'
+                      WHEN 2 THEN 'company' ELSE 'person' END AS obj
+      FROM crank
+      UNION ALL
+      SELECT entity_id AS subj, 'sameAs' AS pred, canonical_id AS obj
+      FROM mapping WHERE entity_id <> canonical_id
+      UNION ALL
+      SELECT DISTINCT p.canonical_id AS subj, 'memberOf' AS pred,
+             o2.canonical_id AS obj
+      FROM medges e
+      JOIN mapping p ON e.person_id = p.entity_id
+      JOIN mapping o2 ON e.org_id = o2.entity_id
+      WHERE e.person_id <> '' AND e.org_id <> ''
+      UNION ALL
+      SELECT subj, pred, obj FROM (
+        SELECT canonical_id AS subj, 'inArea' AS pred, state_code AS obj
+        FROM rcode
+        UNION
+        SELECT state_code AS subj, 'partOf' AS pred, 'mx' AS obj FROM rcode
+      )
+      UNION ALL
+      SELECT url AS subj, 'mentionsProduct' AS pred, product_id AS obj
+      FROM prodt
+    )
+    """
+
+
+@query("kg_triples", _kg_seeded_triples_oracle_sql())
 def q_kg_triples(spark, sf_dir):
-    """Full KG pipeline (deterministic seeded corpus): pages -> triples."""
+    """Full KG pipeline on the deterministic seeded corpus (pages ->
+    triples, classifier override applied) — now under the full value-hash
+    gate via _kg_seeded_triples_oracle_sql (the page texts ride the oracle
+    as a VALUES table; everything downstream recomputes in DuckDB)."""
     from ocds_entity_extract_spark.functions.classify import load_classifier_override
     from ocds_entity_extract_spark.plans.pipeline import build_triples
     from ocds_entity_extract_spark.schemas import CLASSIFIER_SCHEMA
@@ -1183,7 +1447,309 @@ def q_kg_triples(spark, sf_dir):
     return build_triples(spark, pages, override).triples
 
 
-@query("kg_entities")  # rows-only
+def _kg_seed_pages_values_ts_sql(n_pages: int = 300) -> str:
+    """Seeded corpus as VALUES of (url, warc_ts, extracted text) — the
+    timestamped variant for the entity-document oracle (warc_ts drives the
+    first-wins name ordering)."""
+    from ocds_entity_extract_spark.datagen import generate_corpus
+    from ocds_entity_extract_spark.functions.html import extract_text_bytes
+
+    pages, _, _ = generate_corpus(n_pages=n_pages, seed=42)
+
+    def q(v: str) -> str:
+        return "'" + v.replace("'", "''") + "'"
+
+    rows = ",\n      ".join(
+        "({}, TIMESTAMP '{}', {})".format(
+            q(pg["url"]),
+            pg["warc_ts"].strftime("%Y-%m-%d %H:%M:%S"),
+            q(extract_text_bytes(pg["html"]) or ""),
+        )
+        for pg in pages
+    )
+    return f"(VALUES\n      {rows}) AS pages(url, warc_ts, text)"
+
+
+def _kg_seeded_entities_oracle_sql(n_pages: int = 300) -> str:
+    """DuckDB twin of the full entity-DOCUMENT assembly on the SEEDED
+    corpus (the exact chain q_kg_entities runs: build_triples ->
+    entity_documents WITH contact_edges): merged per-alias aggregates ->
+    LSH + recursive-closure canonical mapping -> first-wins name,
+    identifiers (sorted by (id, scheme), rendered scheme:id),
+    subclassification chain, gov level, per-role membership counters,
+    parent/member links, and CONTACT_RE page contacts attributed through
+    the mention stream. Same machinery as _kg_entities_oracle_sql with
+    the seeded VALUES pages and the contact branch added."""
+    from ocds_entity_extract_spark.functions.classify import (
+        COMPANY_SUFFIX_SLUG_RE,
+        INSTITUTION_KEYWORDS,
+        _slug_py,
+    )
+    from ocds_entity_extract_spark.functions.geo import MX_STATES, MX_STATE_ALIASES
+    from ocds_entity_extract_spark.operators.linking import (
+        DEFAULT_BAND_SIZE,
+        DEFAULT_CONTAINMENT_THRESHOLD,
+        DEFAULT_MAX_BUCKET,
+        DEFAULT_MIN_INTERSECT,
+        DEFAULT_NUM_HASHES,
+        DEFAULT_PREFIX_LEN,
+    )
+    from ocds_entity_extract_spark.operators.mentions import (
+        CONTACT_RE,
+        MEMBERSHIP_RE,
+        MENTION_RE,
+    )
+
+    kw = ", ".join(f"'{k}'" for k in INSTITUTION_KEYWORDS)
+    kw_nobanco = ", ".join(
+        f"'{k}'" for k in INSTITUTION_KEYWORDS if k != "banco"
+    )
+    sig_ctes, band_selects = _minhash_sig_ctes(
+        "shw", DEFAULT_NUM_HASHES, DEFAULT_BAND_SIZE
+    )
+    dim_rows = [(n, c, _slug_py(n)) for n, c in MX_STATES] + [
+        (alias, dict(MX_STATES)[canon], _slug_py(alias))
+        for alias, canon in MX_STATE_ALIASES
+    ]
+    statedim = ", ".join(f"('{n}', '{c}', '{s}')" for n, c, s in dim_rows)
+    slug = lambda e: _SLUG_SQL.format(e=e)  # noqa: E731
+    return rf"""
+    WITH RECURSIVE norm AS (
+      SELECT url, warc_ts, text FROM {_kg_seed_pages_values_ts_sql(n_pages)}
+    ),
+    m AS (
+      SELECT url, warc_ts,
+             unnest(regexp_extract_all(text, '{MENTION_RE}')) AS surface
+      FROM norm
+    ),
+    feat AS (
+      SELECT url, warc_ts,
+             regexp_replace(trim(surface), '\s+', ' ', 'g') AS name_norm,
+             {slug('surface')} AS entity_id,
+             regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS domain
+      FROM m
+    ),
+    typed AS (
+      SELECT *,
+             CASE WHEN split_part(entity_id, '-', 1) IN ({kw}) THEN 3
+                  WHEN regexp_matches(entity_id, '{COMPANY_SUFFIX_SLUG_RE}') THEN 2
+                  ELSE 1 END AS rank
+      FROM feat WHERE entity_id <> ''
+    ),
+    rankedocc AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY entity_id ORDER BY warc_ts, url, name_norm
+      ) AS rn
+      FROM typed
+    ),
+    ent AS (
+      SELECT entity_id,
+             max(CASE WHEN rn = 1 THEN name_norm END) AS name,
+             max(rank) AS rank,
+             CAST(count(*) AS BIGINT) AS mention_count,
+             CAST(count(DISTINCT url) AS BIGINT) AS page_count,
+             min(warc_ts) AS first_seen,
+             max(warc_ts) AS last_seen,
+             list_distinct(list(name_norm)) AS names,
+             list_distinct(list(domain)) AS sources
+      FROM rankedocc GROUP BY entity_id
+    ),
+    idu AS (SELECT entity_id AS id FROM ent),
+    shw AS (
+      SELECT id, list_distinct([substr(id, i, 3)
+                 for i in range(1, greatest(length(id) - 2, 1) + 1)]) AS shingles
+      FROM idu
+    ),{sig_ctes},
+    bands AS (
+      {band_selects}
+    ),
+    capped AS (
+      SELECT * FROM (
+        SELECT *, count(*) OVER (PARTITION BY band_id, band_hash) AS bsz FROM bands
+      ) WHERE bsz <= {DEFAULT_MAX_BUCKET}
+    ),
+    lshp AS (
+      SELECT DISTINCT a.id AS src, b.id AS dst
+      FROM capped a JOIN capped b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.id < b.id
+    ),
+    pfx AS (
+      SELECT id, substr(id, 1, {DEFAULT_PREFIX_LEN}) AS pfx FROM idu
+      WHERE length(id) >= {DEFAULT_PREFIX_LEN}
+    ),
+    pcap AS (
+      SELECT * FROM (
+        SELECT *, count(*) OVER (PARTITION BY pfx) AS bsz FROM pfx
+      ) WHERE bsz <= {DEFAULT_MAX_BUCKET}
+    ),
+    pfxp AS (
+      SELECT DISTINCT a.id AS src, b.id AS dst
+      FROM pcap a JOIN pcap b ON a.pfx = b.pfx AND a.id < b.id
+    ),
+    cand AS (SELECT src, dst FROM lshp UNION SELECT src, dst FROM pfxp),
+    edges AS (
+      SELECT c.src, c.dst FROM cand c
+      JOIN hsh ha ON ha.id = c.src
+      JOIN hsh hb ON hb.id = c.dst
+      WHERE len(list_intersect(ha.hs, hb.hs)) >= {DEFAULT_MIN_INTERSECT}
+        AND CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+            / least(len(ha.hs), len(hb.hs)) >= {DEFAULT_CONTAINMENT_THRESHOLD}
+    ),
+    sym AS (
+      SELECT src AS a, dst AS b FROM edges
+      UNION ALL
+      SELECT dst AS a, src AS b FROM edges
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+    ),
+    comp AS (
+      SELECT src AS member, least(src, min(dst)) AS canonical
+      FROM reach GROUP BY src
+    ),
+    mapping AS (
+      SELECT i.id AS entity_id, coalesce(c.canonical, i.id) AS canonical_id
+      FROM idu i LEFT JOIN comp c ON c.member = i.id
+    ),
+    cranked AS (
+      SELECT e.*, mp.canonical_id,
+             row_number() OVER (
+               PARTITION BY mp.canonical_id ORDER BY e.first_seen, e.entity_id
+             ) AS crn
+      FROM ent e JOIN mapping mp ON e.entity_id = mp.entity_id
+    ),
+    canon AS (
+      SELECT canonical_id,
+             max(CASE WHEN crn = 1 THEN name END) AS name,
+             max(rank) AS rank,
+             list_sort(list_distinct(flatten(list(names)))) AS all_names,
+             list_sort(list(entity_id)) AS alias_slugs,
+             max(nullif(regexp_extract(entity_id,
+                                       '{COMPANY_SUFFIX_SLUG_RE}', 1), ''))
+               AS subtype,
+             CAST(sum(mention_count) AS BIGINT) AS mentions,
+             CAST(sum(page_count) AS BIGINT) AS pages,
+             min(first_seen) AS first_seen,
+             max(last_seen) AS last_seen,
+             list_sort(list_distinct(flatten(list(sources)))) AS sources
+      FROM cranked GROUP BY canonical_id
+    ),
+    mm AS (
+      SELECT url, unnest(regexp_extract_all(text, '{MEMBERSHIP_RE}')) AS mspan
+      FROM norm
+    ),
+    medges0 AS (
+      SELECT url,
+             {slug(f"regexp_extract(mspan, '{MEMBERSHIP_RE}', 1)")} AS person_id,
+             regexp_extract(mspan, '{MEMBERSHIP_RE}', 2) AS role,
+             {slug(f"regexp_extract(mspan, '{MEMBERSHIP_RE}', 3)")} AS org_id
+      FROM mm
+    ),
+    medges AS (
+      SELECT m0.url, p.canonical_id AS member_canon, m0.role,
+             o2.canonical_id AS org_canon
+      FROM medges0 m0
+      JOIN mapping p ON m0.person_id = p.entity_id
+      JOIN mapping o2 ON m0.org_id = o2.entity_id
+      WHERE m0.person_id <> '' AND m0.org_id <> ''
+    ),
+    as_member AS (
+      SELECT member_canon AS canonical_id,
+             CAST(sum(CASE WHEN role IN ('director general', 'directora general')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_director_general,
+             min(CASE WHEN org_canon <> member_canon THEN org_canon END)
+               AS parent_id
+      FROM medges GROUP BY member_canon
+    ),
+    as_parent AS (
+      SELECT org_canon AS canonical_id,
+             CAST(count(DISTINCT member_canon) AS BIGINT) AS member_count
+      FROM medges GROUP BY org_canon
+    ),
+    cm AS (
+      SELECT url, unnest(regexp_extract_all(text, '{CONTACT_RE}')) AS cv
+      FROM norm
+    ),
+    contacts AS (
+      SELECT DISTINCT url,
+             CASE WHEN strpos(cv, '@') > 0 THEN 'email' ELSE 'tel' END AS ctype,
+             cv
+      FROM cm
+    ),
+    centity AS (
+      SELECT DISTINCT mp.canonical_id, c.ctype, c.cv
+      FROM (SELECT DISTINCT url, entity_id FROM typed) o
+      JOIN contacts c ON c.url = o.url
+      JOIN mapping mp ON mp.entity_id = o.entity_id
+    ),
+    ccol AS (
+      SELECT canonical_id,
+             array_to_string(
+               [x[1] || ':' || x[2]
+                for x in list_sort(list([ctype, cv]))], ',') AS contact_details
+      FROM centity GROUP BY canonical_id
+    ),
+    statedim(state_name, iso_code, name_slug) AS (VALUES {statedim}),
+    ia AS (
+      SELECT c2.canonical_id, mp.entity_id AS alias_slug
+      FROM canon c2 JOIN mapping mp ON mp.canonical_id = c2.canonical_id
+      WHERE c2.rank = 3
+    ),
+    amatch AS (
+      SELECT ia.canonical_id, sd.state_name
+      FROM ia JOIN statedim sd ON ia.alias_slug LIKE '%-de-' || sd.name_slug
+    ),
+    regions AS (
+      SELECT canonical_id, 'region' AS region_gov FROM amatch
+      GROUP BY canonical_id
+    )
+    SELECT c.canonical_id AS id,
+           c.name,
+           CASE c.rank WHEN 3 THEN 'institution'
+                       WHEN 2 THEN 'company' ELSE 'person' END AS entity_type,
+           CASE c.rank WHEN 3 THEN 'institution'
+                       WHEN 2 THEN 'company' ELSE 'person' END AS classification,
+           coalesce(
+             CASE WHEN c.rank = 3 THEN
+               CASE WHEN split_part(c.canonical_id, '-', 1) = 'banco' THEN 'banco'
+                    WHEN split_part(c.canonical_id, '-', 1) IN ({kw_nobanco})
+                      THEN split_part(c.canonical_id, '-', 1)
+                    WHEN am.parent_id IS NOT NULL THEN 'unidad-compradora'
+                    ELSE 'dependencia' END
+                  WHEN c.rank = 2 THEN c.subtype END, '') AS subclassification,
+           CASE WHEN c.rank > 1 THEN am.parent_id END AS parent_id,
+           CASE WHEN c.rank = 3 THEN
+             CASE WHEN split_part(c.canonical_id, '-', 1)
+                       IN ('municipio', 'ayuntamiento') THEN 'city'
+                  WHEN rg.region_gov IS NOT NULL THEN rg.region_gov
+                  WHEN split_part(c.canonical_id, '-', 1) = 'gobierno'
+                    THEN 'region'
+                  ELSE 'country' END
+           END AS gov_level,
+           coalesce(cc.contact_details, '') AS contact_details,
+           array_to_string(
+             [x[2] || ':' || x[1]
+              for x in list_sort(
+                [[s, 'slug'] for s in c.alias_slugs]
+                || [[d, 'domain'] for d in c.sources])], ',') AS identifiers,
+           coalesce(array_to_string(
+             list_sort(list_filter(c.all_names, x -> x <> c.name)), ','
+           ), '') AS other_names,
+           c.mentions, c.pages,
+           coalesce(am.n_director_general, 0) AS n_director_general,
+           coalesce(ap.member_count, 0) AS members,
+           array_to_string(c.sources, ',') AS sources
+    FROM canon c
+    LEFT JOIN as_member am ON am.canonical_id = c.canonical_id
+    LEFT JOIN as_parent ap ON ap.canonical_id = c.canonical_id
+    LEFT JOIN ccol cc ON cc.canonical_id = c.canonical_id
+    LEFT JOIN regions rg ON rg.canonical_id = c.canonical_id
+    """
+
+
+@query("kg_entities", _kg_seeded_entities_oracle_sql())
 def q_kg_entities(spark, sf_dir):
     """Canonical entity DOCUMENTS from the same corpus — the full output
     doc assembly (subclassification, identifiers, parent_id, per-role
@@ -1240,9 +1806,6 @@ def q_kg_entities(spark, sf_dir):
 
 _KG_TPL_STATES = ["Jalisco", "Sonora", "Durango", "Colima"]
 
-_SLUG_SQL = (
-    "trim(regexp_replace(lower(strip_accents({e})), '[^a-z0-9]+', '-', 'g'), '-')"
-)
 
 
 def _kg_template_pages(docs):
