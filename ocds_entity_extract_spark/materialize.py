@@ -107,8 +107,26 @@ def upsert_table(
     existing = cat.read(table).withColumn("_src", F.lit(0))
     upd = updates.withColumn("_src", F.lit(1))
     if partition_by:
-        # prune the read-back to partitions the update touches
+        # prune the read-back to partitions the update touches — PLUS any
+        # partition holding a stale row of a key the update MOVED to a new
+        # partition value (else the old row is never read back and the key
+        # ends duplicated across two partitions). The moved-key probe is a
+        # column-pruned key scan; it is skipped entirely when partition_by
+        # ⊆ key_cols, where a "moved key" is definitionally a different
+        # key. Caveat (documented): if a move drains a partition to zero
+        # rows, dynamic overwrite cannot rewrite the now-empty partition —
+        # its files are dropped by the next compact_table run.
         touched = updates.select(*partition_by).distinct()
+        if not set(partition_by) <= set(key_cols):
+            upd_keys = updates.select(*key_cols).distinct()
+            stale_parts = (
+                cat.read(table)
+                .select(*key_cols, *partition_by)
+                .join(F.broadcast(upd_keys), key_cols, "left_semi")
+                .select(*partition_by)
+                .distinct()
+            )
+            touched = touched.unionByName(stale_parts).distinct()
         existing = existing.join(F.broadcast(touched), partition_by, "left_semi")
     merged = (
         existing.unionByName(upd)
@@ -155,10 +173,19 @@ def compact_table(
                            recursive=True)
     )
     n_files = max(1, total // target_file_bytes)
-    compacted = df.repartition(int(n_files)).localCheckpoint(eager=True)
     if partition_by:
+        # repartition ON the partition columns: a round-robin repartition
+        # followed by partitionBy writes up to n_files x n_partitions
+        # output files (every task holds rows of every partition) — the
+        # opposite of compaction. Hashing on the partition columns routes
+        # each Hive partition's rows to one task, so file count is bounded
+        # by the partition count (per-partition sizing, not whole-table).
+        compacted = df.repartition(int(n_files), *partition_by).localCheckpoint(
+            eager=True
+        )
         cat.replace_table(table, compacted, partition_by)
     else:
+        compacted = df.repartition(int(n_files)).localCheckpoint(eager=True)
         cat.replace_table(table, compacted)
     return len(
         glob.glob(os.path.join(cat.path(table), "**", "*.parquet"), recursive=True)

@@ -90,18 +90,22 @@ def asof_join(
         .orderBy(_TS, _SIDE)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = both
+    # carry ONE struct of (payload..., right ts): last(ignorenulls) skips
+    # LEFT rows (whole struct null there) but keeps a matched right row
+    # whose individual payload FIELDS are null — carrying columns
+    # separately would skip those fields and resurrect an older row's
+    # value while matched_ts_col reported the newer match
+    matched = F.struct(
+        *[F.col(c).alias(c) for c in payload], F.col("_r_ts").alias(_TS)
+    )
+    carried = both.withColumn(
+        "_m",
+        F.last(F.when(F.col(_SIDE) == 0, matched), ignorenulls=True).over(w),
+    )
     for c in payload:
-        carried = carried.withColumn(
-            c, F.last(F.when(F.col(_SIDE) == 0, F.col(c)), ignorenulls=True).over(w)
-        )
+        carried = carried.withColumn(c, F.col("_m")[c])
     if matched_ts_col:
-        carried = carried.withColumn(
-            matched_ts_col,
-            F.last(
-                F.when(F.col(_SIDE) == 0, F.col("_r_ts")), ignorenulls=True
-            ).over(w),
-        )
+        carried = carried.withColumn(matched_ts_col, F.col("_m")[_TS])
 
     out_cols = list(left.columns) + payload + (
         [matched_ts_col] if matched_ts_col else []
@@ -133,22 +137,28 @@ def range_join_binned(
     """
     bin_seconds = bin_seconds or window_seconds
     n_bins = window_seconds // bin_seconds + 1
+    if n_bins > 16:
+        raise ValueError(
+            f"bin fan-out {n_bins} > 16; raise bin_seconds"
+        )
+
+    # floor division (not double-divide + cast, which truncates toward
+    # zero): pre-1970 timestamps are negative and must land in the
+    # FLOOR bin or boundary-straddling pairs are silently dropped
+    def _bin_of(ts_col):
+        return F.floor(ts_col / F.lit(bin_seconds)).cast("bigint")
 
     l_binned = left.withColumn(
         "_bin",
         F.explode(
             F.sequence(
-                (F.unix_timestamp(left_ts) / bin_seconds).cast("bigint"),
-                (
-                    (F.unix_timestamp(left_ts) + window_seconds)
-                    / bin_seconds
-                ).cast("bigint"),
+                _bin_of(F.unix_timestamp(left_ts)),
+                _bin_of(F.unix_timestamp(left_ts) + window_seconds),
             )
         ),
     )
-    assert n_bins <= 16, "bin fan-out too large; raise bin_seconds"
     r_binned = right.withColumn(
-        "_bin", (F.unix_timestamp(right_ts) / bin_seconds).cast("bigint")
+        "_bin", _bin_of(F.unix_timestamp(right_ts))
     )
     lt, rt = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
     return (

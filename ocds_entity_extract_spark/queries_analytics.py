@@ -524,6 +524,26 @@ def q_value_percentiles(spark, sf_dir):
     )
 
 
+@query("value_percentiles_approx")  # rows-only: sketch output is
+# approximate by construction — a strict value hash would gate on sketch
+# internals, so closeness to the exact twin is pytest-gated instead
+# (test_plans::test_percentile_approx_within_tolerance)
+def q_value_percentiles_approx(spark, sf_dir):
+    """The PRODUCTION percentile path: `percentile_approx` (a mergeable
+    quantile sketch with map-side partial aggregation — the only shape
+    that survives 100 TB; exact `percentile` implies a full per-group
+    sort, a scale-killer). Accuracy 10000 bounds rank error at ~1/10000;
+    q:value_percentiles keeps the exact, oracle-hashed semantics and the
+    companion test asserts the sketch stays within tolerance of it."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.percentile_approx("value", F.lit(0.5), F.lit(10000)), 2).alias("p50"),
+        F.round(F.percentile_approx("value", F.lit(0.9), F.lit(10000)), 2).alias("p90"),
+        F.round(F.percentile_approx("value", F.lit(0.99), F.lit(10000)), 2).alias("p99"),
+    )
+
+
 # =====================================================================
 # Structured Streaming under the value-hash gate
 # =====================================================================

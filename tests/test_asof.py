@@ -49,6 +49,55 @@ def test_asof_backward_inclusive_and_nulls(spark):
     assert out.count() == left.count()   # left-join semantics
 
 
+def test_asof_null_payload_of_matched_row_survives(spark):
+    """A matched right row whose payload column is NULL must yield NULL —
+    not resurrect an older row's value (the struct-carry fix; previously
+    per-column last(ignorenulls) skipped the null field while
+    matched_ts_col reported the newer match)."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts(12))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, _ts(9), 5.0), (10, _ts(11), None)],
+        "user_id long, ts timestamp, pvalue double",
+    )
+    out = asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="ts",
+        payload=["pvalue"], matched_ts_col="matched_ts",
+    ).collect()[0]
+    assert out["matched_ts"] == _ts(11)
+    assert out["pvalue"] is None
+
+
+def test_range_join_negative_timestamps_floor_bins(spark):
+    """Pre-1970 (negative unix) timestamps must bin by FLOOR: a pair
+    straddling bin 0 would be dropped under truncate-toward-zero."""
+    left = spark.createDataFrame(
+        [(1, 1, dt.datetime(1969, 12, 31, 23, 59, 30))],
+        "lid long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, dt.datetime(1969, 12, 31, 23, 59, 50), 1.0)],
+        "k long, rts timestamp, v double",
+    )
+    got = range_join_binned(
+        left, right, key="k", left_ts="ts", right_ts="rts",
+        window_seconds=60, bin_seconds=60,
+    ).count()
+    assert got == 1
+
+
+def test_range_join_fanout_guard_raises(spark):
+    left = spark.createDataFrame([(1, 1, _ts(1))], "lid long, k long, ts timestamp")
+    import pytest
+
+    with pytest.raises(ValueError):
+        range_join_binned(
+            left, left, key="k", left_ts="ts", right_ts="ts",
+            window_seconds=1000, bin_seconds=10,
+        )
+
+
 def test_asof_preserves_left_columns(spark):
     left, right = _frames(spark)
     out = asof_join(left, right, key="user_id", left_ts="ts", right_ts="ts")

@@ -130,6 +130,58 @@ def test_upsert_latest_wins(spark, tmp_path):
     }
 
 
+def test_upsert_moved_key_rewrites_old_partition(spark, tmp_path):
+    """An update that moves key K to a different partition value must also
+    rewrite K's OLD partition — otherwise the stale row survives there and
+    the table ends with K duplicated across two partitions."""
+    from ocds_entity_extract_spark.materialize import upsert_table
+    from ocds_entity_extract_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [("a", "p1", 1, "v1"), ("x", "p1", 1, "keep"), ("c", "p2", 1, "v3")],
+        "id string, part string, ver int, val string",
+    )
+    upsert_table(cat, "t", base, ["id"], "ver", partition_by=["part"])
+
+    moved = spark.createDataFrame(
+        [("a", "p2", 2, "v1moved")],     # key 'a' moves p1 -> p2
+        "id string, part string, ver int, val string",
+    )
+    upsert_table(cat, "t", moved, ["id"], "ver", partition_by=["part"])
+
+    rows = [(r["id"], r["part"], r["ver"], r["val"]) for r in cat.read("t").collect()]
+    assert sorted(rows) == [
+        ("a", "p2", 2, "v1moved"), ("c", "p2", 1, "v3"), ("x", "p1", 1, "keep"),
+    ]
+
+
+def test_compact_partitioned_reduces_files(spark, tmp_path):
+    """compact_table with partition_by must not multiply files (the old
+    round-robin repartition wrote up to n_files x n_partitions)."""
+    import glob
+    import os
+
+    from ocds_entity_extract_spark.materialize import compact_table
+    from ocds_entity_extract_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.range(0, 2000).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("string").alias("part"),
+    )
+    # simulate a small-file mess: many appends
+    for _ in range(5):
+        cat.append("t", df, partition_by=["part"])
+    before = len(glob.glob(os.path.join(cat.path("t"), "**", "*.parquet"),
+                           recursive=True))
+    after = compact_table(cat, "t", target_file_bytes=1 << 30,
+                          partition_by=["part"])
+    assert after < before
+    assert after <= 4          # bounded by the partition count
+    assert cat.read("t").count() == 2000 * 5
+
+
 def test_upsert_tie_prefers_update(spark, tmp_path):
     from ocds_entity_extract_spark.materialize import upsert_table
     from ocds_entity_extract_spark.sources.catalog import Catalog

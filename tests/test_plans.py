@@ -85,3 +85,31 @@ def test_merge_shuffle_budget(spark):
     # count Exchange NODES in the plan tree (each node also reappears in the
     # detail section, so count the tree-branch form)
     assert plan.count("- Exchange") <= 2
+
+
+def test_percentile_approx_within_tolerance(spark):
+    """The production percentile path (mergeable percentile_approx sketch)
+    must stay within sketch tolerance of the exact oracle-hashed twin on
+    the bench events table: p50/p90/p99 within 1% relative (accuracy
+    10000 => rank error ~1e-4; generous margin for interpolation, since
+    percentile_approx returns an actual sample, quantile_cont
+    interpolates)."""
+    import os
+
+    from ocds_entity_extract_spark.queries_analytics import (
+        q_value_percentiles,
+        q_value_percentiles_approx,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    exact = {r["event_type"]: r for r in q_value_percentiles(spark, sf_dir).collect()}
+    approx = {
+        r["event_type"]: r for r in q_value_percentiles_approx(spark, sf_dir).collect()
+    }
+    assert exact.keys() == approx.keys() and exact
+    for et, e in exact.items():
+        a = approx[et]
+        assert a["n"] == e["n"]
+        for c in ("p50", "p90", "p99"):
+            rel = abs(a[c] - e[c]) / max(abs(e[c]), 1e-9)
+            assert rel <= 0.01, (et, c, e[c], a[c])
