@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_clusters",
     "kg_merged_entities",
     "kg_pipeline_triples",
+    "kg_pipeline_products",
     "events_sessionize",
     "asof_join_events",
     "corpus_curation",

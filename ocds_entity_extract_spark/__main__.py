@@ -110,10 +110,12 @@ def main(argv: list[str] | None = None) -> int:
             materialize_triples(cat, res.triples, run_id=f"cli-{int(t0)}")
             cat.replace_table("entity_docs", ent_docs, partition_by=["entity_type"])
             cat.replace_table("membership_docs", mem_docs)
+            cat.replace_table("product_docs", res.products)
         else:
             out = args.out_dir or os.path.join(args.database, "out")
             write_ndjson_grouped(ent_docs, os.path.join(out, "entities"))
             mem_docs.write.mode("overwrite").json(os.path.join(out, "memberships"))
+            res.products.write.mode("overwrite").json(os.path.join(out, "products"))
             res.triples.write.mode("overwrite").partitionBy("pred").json(
                 os.path.join(out, "triples")
             )
@@ -123,6 +125,7 @@ def main(argv: list[str] | None = None) -> int:
         ent_docs.groupBy("entity_type").count().rdd.map(tuple).collect()
     )
     n_mem = mem_docs.count()
+    n_prod = res.products.count()
     n_triples = res.triples.count()
     print("-------------------------------")
     for kind, label in (
@@ -132,6 +135,7 @@ def main(argv: list[str] | None = None) -> int:
     ):
         print(f"{label} found: {by_type.get(kind, 0)}")
     print(f"Memberships found: {n_mem}")
+    print(f"Products found: {n_prod}")
     print(f"Triples emitted: {n_triples}")
     print(f"Duration: {time.time() - t0:.1f}s")
     if args.test:
