@@ -151,7 +151,7 @@ def main() -> None:
     ivf_recall = sum(ivf_r) / len(ivf_r)
     print(
         f"# ann recall@10 vs brute force (3 queries): lsh(default h<=2)="
-        f"{ann_recall:.2f} lsh(h<=1)={ann_recall2:.2f} ivf(default n_probe=8)="
+        f"{ann_recall:.2f} lsh(h<=1)={ann_recall2:.2f} ivf(default n_probe=12)="
         f"{ivf_recall:.2f}",
         file=sys.stderr,
     )

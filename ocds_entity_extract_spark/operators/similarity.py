@@ -133,7 +133,7 @@ def ann_topk_ivf(
     query_vec_id: int,
     k: int = 10,
     n_centroids: int = 16,
-    n_probe: int = 8,
+    n_probe: int = 12,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:

@@ -505,7 +505,7 @@ def q_ann_topk_lsh(spark, sf_dir):
     return ann_topk_lsh(e, query_vec_id=0, k=10, n_planes=4, dim=EMBEDDING_DIM)
 
 
-def _ann_ivf_oracle_sql(n_centroids: int = 16, n_probe: int = 8) -> str:
+def _ann_ivf_oracle_sql(n_centroids: int = 16, n_probe: int = 12) -> str:
     """DuckDB twin of ann_topk_ivf: centroids are embedding rows (vec_id
     1..K), so no literals are needed — both engines derive assignment and
     probe sets from the same data with identical (rounded sim, cid)
