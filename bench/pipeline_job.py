@@ -111,16 +111,46 @@ def main() -> None:
 
     pages = spark.read.parquet(path)
 
+    # SPARK_GRAFT_MODE selects which engine plan the scaling evidence
+    # measures (BENCH/scaling_history.jsonl rows carry the mode; pools
+    # never mix):
+    #   driver      (default) the size-adaptive fast path the engine picks
+    #               on its own at this corpus's dim size — driver-side
+    #               linking + zero-shuffle assembly (round-3 headline).
+    #   distributed EVERY size-adaptive escape hatch forced OFF
+    #               (max_driver_linking=0: distributed LSH linking;
+    #               cc_small_graph_threshold=0: alternating-star CC, no
+    #               union-find collect; surface_broadcast='aqe': the dim
+    #               join left to AQE's runtime decision) — the exact plan
+    #               a 100 TB corpus would run. This mode also materializes
+    #               the merged-entities table (merge_entities's corpus-wide
+    #               groupBy shuffle), so the measured job covers all four
+    #               shuffle stages the round-3 verdict flagged as outside
+    #               the evidence window: mention-distinct exchange, merge
+    #               groupBy, LSH self-join, star CC.
+    mode = os.environ.get("SPARK_GRAFT_MODE", "driver")
+    kw = {}
+    if mode == "distributed":
+        kw = {
+            "max_driver_linking": 0,
+            "surface_broadcast": "aqe",
+            "cc_small_graph_threshold": 0,
+        }
+
     t0 = time.time()
-    n_triples = build_triples(spark, pages).triples.count()
+    res = build_triples(spark, pages, **kw)
+    n_triples = res.triples.count()
+    n_entities = res.entities.count() if mode == "distributed" else None
     secs = time.time() - t0
     print(
         json.dumps(
             {
                 "cores": cores,
                 "n_pages": n_pages,
+                "mode": mode,
                 "secs": round(secs, 3),
                 "triples": n_triples,
+                "entities": n_entities,
                 "pages_per_sec": round(n_pages / secs, 1),
                 "triples_per_sec": round(n_triples / secs, 1),
             }

@@ -69,9 +69,14 @@ def append_history(rec: dict) -> None:
         f.write(json.dumps(rec) + "\n")
 
 
-def load_history(fp: str, n_pages: int) -> tuple[list[dict], list[dict]]:
-    """(round rows for this fingerprint+corpus, all control rows)."""
-    rounds, controls = [], []
+def load_history(fp: str, n_pages: int) -> tuple[dict[str, list[dict]], list[dict]]:
+    """({mode: round rows} for this fingerprint+corpus, all control rows).
+
+    Rows pool per (fingerprint, n_pages, MODE) — the driver fast path and
+    the forced-distributed plan are different jobs and must never share a
+    minima pool (rows written before the mode field default to 'driver')."""
+    rounds: dict[str, list[dict]] = {}
+    controls: list[dict] = []
     if HISTORY.exists():
         for line in HISTORY.read_text().splitlines():
             if not line.strip():
@@ -80,7 +85,7 @@ def load_history(fp: str, n_pages: int) -> tuple[list[dict], list[dict]]:
             if r.get("kind") == "round" and r.get("fp") == fp and r.get(
                 "n_pages"
             ) == n_pages:
-                rounds.append(r)
+                rounds.setdefault(r.get("mode", "driver"), []).append(r)
             elif r.get("kind") == "control":
                 controls.append(r)
     return rounds, controls
@@ -112,21 +117,26 @@ def cpu_control(levels: list[int]) -> dict[int, float]:
     return {n: n / run(n) for n in levels}  # work-units per second
 
 
-def run_once(cores: int, n_pages: int) -> dict:
+def run_once(cores: int, n_pages: int, mode: str = "driver") -> dict:
     out = subprocess.run(
         [sys.executable, str(ROOT / "bench" / "pipeline_job.py"), str(cores), str(n_pages)],
         capture_output=True,
         text=True,
         check=True,
         cwd=str(ROOT),
-        env={**os.environ, "SPARK_GRAFT_DRIVER_MEM": "16g"},
+        env={
+            **os.environ,
+            "SPARK_GRAFT_DRIVER_MEM": "16g",
+            "SPARK_GRAFT_MODE": mode,
+        },
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
 
 def run_levels_interleaved(
-    levels: list[int], n_pages: int, reps: int, fp: str, run_id: str
+    levels: list[int], n_pages: int, reps: int, fp: str, run_id: str,
+    mode: str = "driver",
 ) -> dict[int, dict]:
     """ROUND-ROBIN reps across levels (2,8,32, 2,8,32, ...), best-of kept.
 
@@ -146,17 +156,22 @@ def run_levels_interleaved(
     best: dict[int, dict] = {}
     for i in range(reps):
         for c in levels:
-            r = run_once(c, n_pages)
-            print(f"#   round {i} local[{c}]: {r['secs']}s", file=sys.stderr)
+            r = run_once(c, n_pages, mode)
+            print(
+                f"#   round {i} [{mode}] local[{c}]: {r['secs']}s",
+                file=sys.stderr,
+            )
             append_history(
                 {
                     "kind": "round",
                     "fp": fp,
                     "run": run_id,
+                    "mode": mode,
                     "n_pages": n_pages,
                     "cores": c,
                     "secs": r["secs"],
                     "triples": r["triples"],
+                    "entities": r.get("entities"),
                     "ts": round(time.time(), 1),
                 }
             )
@@ -166,8 +181,13 @@ def run_levels_interleaved(
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--report-only"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     report_only = "--report-only" in sys.argv[1:]
+    mode = "driver"
+    for a in sys.argv[1:]:
+        if a.startswith("--mode="):
+            mode = a.split("=", 1)[1]
+    assert mode in ("driver", "distributed"), mode
     n_pages = int(args[0]) if args else 2_000_000
     if len(args) > 2:                            # legacy: n_pages low high [reps]
         try:
@@ -186,10 +206,11 @@ def main() -> int:
     run_id = f"r{int(time.time())}"
     if not report_only:
         print(
-            f"# running {reps} interleaved rounds over {levels} (fp {fp}) ...",
+            f"# running {reps} interleaved rounds over {levels} "
+            f"(fp {fp}, mode {mode}) ...",
             file=sys.stderr,
         )
-        run_levels_interleaved(levels, n_pages, reps, fp, run_id)
+        run_levels_interleaved(levels, n_pages, reps, fp, run_id, mode)
         print("# running pure-CPU control ...", file=sys.stderr)
         ctrl = cpu_control(levels)
         pairs0 = [
@@ -210,28 +231,11 @@ def main() -> int:
             }
         )
 
-    rounds, controls = load_history(fp, n_pages)
-    if not rounds:
+    rounds_by_mode, controls = load_history(fp, n_pages)
+    if not rounds_by_mode:
         print("# no history rows for this fingerprint — run without "
               "--report-only first", file=sys.stderr)
         return 1
-    levels = sorted({r["cores"] for r in rounds})
-    best = {
-        c: min((r for r in rounds if r["cores"] == c), key=lambda r: r["secs"])
-        for c in levels
-    }
-    n_rounds = {c: sum(1 for r in rounds if r["cores"] == c) for c in levels}
-    windows = sorted({r["run"] for r in rounds})
-
-    pairs = [
-        (a, b)
-        for i, a in enumerate(levels)
-        for b in levels[i + 1:]
-        if b == 4 * a
-    ]
-    effs = {
-        (a, b): (best[a]["secs"] / best[b]["secs"]) / (b / a) for a, b in pairs
-    }
 
     def _ctrl_list(a, b):
         vals = [
@@ -244,45 +248,83 @@ def main() -> int:
     def _median(vs):
         return vs[len(vs) // 2] if len(vs) % 2 else (vs[len(vs) // 2 - 1] + vs[len(vs) // 2]) / 2
 
-    ctrl_effs = {p: _median(_ctrl_list(*p)) if _ctrl_list(*p) else None for p in pairs}
-    headline = pairs[0] if pairs else (levels[0], levels[-1])
+    MODE_NOTES = {
+        "driver": (
+            "the engine's OWN size-adaptive plan (all defaults). Since the "
+            "round-4 uncapped entity universe the 4M-page corpus carries "
+            "~110k distinct surfaces — past max_driver_linking=100k — so "
+            "the adaptive threshold itself selects DISTRIBUTED LSH linking "
+            "and the join-based assembly here too; what stays adaptive is "
+            "the dim broadcast (counted, under max_broadcast_surfaces) and "
+            "union-find CC on the collected edge set (nodes ≪ 1M). Job = "
+            "triples.count()."
+        ),
+        "distributed": (
+            "every size-adaptive escape hatch FORCED OFF "
+            "(max_driver_linking=0, cc_small_graph_threshold=0, "
+            "surface_broadcast='aqe') — the exact plan a 100 TB corpus "
+            "would run: corpus-sized mention-distinct exchange, "
+            "distributed MinHash-LSH self-join, alternating-star "
+            "connected components, AQE-decided dim join. Job = "
+            "triples.count() + entities.count(), so the merged-entities "
+            "groupBy shuffle (merge_entities) is inside the timed window "
+            "too."
+        ),
+    }
 
-    rows = "\n".join(
-        f"| local[{c}] | {best[c]['secs']} | {round(n_pages / best[c]['secs'], 1)} |"
-        f" {round(best[c]['triples'] / best[c]['secs'], 1)} | {n_rounds[c]} |"
-        for c in levels
-    )
+    sections = []
+    summary: dict = {"fingerprint": fp, "modes": {}}
+    gate_ok = True
+    total_rounds = 0
+    for m in sorted(rounds_by_mode):
+        rounds = rounds_by_mode[m]
+        total_rounds += len(rounds)
+        levels_m = sorted({r["cores"] for r in rounds})
+        best = {
+            c: min((r for r in rounds if r["cores"] == c), key=lambda r: r["secs"])
+            for c in levels_m
+        }
+        n_rounds = {c: sum(1 for r in rounds if r["cores"] == c) for c in levels_m}
+        windows = sorted({r["run"] for r in rounds})
+        pairs = [
+            (a, b)
+            for i, a in enumerate(levels_m)
+            for b in levels_m[i + 1:]
+            if b == 4 * a
+        ]
+        effs = {
+            (a, b): (best[a]["secs"] / best[b]["secs"]) / (b / a)
+            for a, b in pairs
+        }
+        ctrl_effs = {
+            p: _median(_ctrl_list(*p)) if _ctrl_list(*p) else None for p in pairs
+        }
+        headline = pairs[0] if pairs else (levels_m[0], levels_m[-1])
 
-    def _eff_row(a, b, e):
-        ce = ctrl_effs[(a, b)]
-        cl = _ctrl_list(a, b)
-        if ce:
-            return (
-                f"- **local[{a}] -> local[{b}] (x4 cores): {e:.3f}** "
-                f"(pure-CPU control, median of {len(cl)} windows: {ce:.3f}, "
-                f"range {cl[0]:.2f}-{cl[-1]:.2f}; control-normalized: {e / ce:.3f})"
-            )
-        return f"- **local[{a}] -> local[{b}] (x4 cores): {e:.3f}**"
+        rows = "\n".join(
+            f"| local[{c}] | {best[c]['secs']} | {round(n_pages / best[c]['secs'], 1)} |"
+            f" {round(best[c]['triples'] / best[c]['secs'], 1)} | {n_rounds[c]} |"
+            for c in levels_m
+        )
 
-    eff_rows = "\n".join(_eff_row(a, b, e) for (a, b), e in effs.items())
-    t_all = {best[c]["triples"] for c in levels}
-    md = f"""# BENCH/BASELINE — scaling evidence (N vs 4N proxy)
+        def _eff_row(a, b, e):
+            ce = ctrl_effs[(a, b)]
+            cl = _ctrl_list(a, b)
+            if ce:
+                return (
+                    f"- **local[{a}] -> local[{b}] (x4 cores): {e:.3f}** "
+                    f"(pure-CPU control, median of {len(cl)} windows: {ce:.3f}, "
+                    f"range {cl[0]:.2f}-{cl[-1]:.2f}; control-normalized: {e / ce:.3f})"
+                )
+            return f"- **local[{a}] -> local[{b}] (x4 cores): {e:.3f}**"
 
-Same KG-pipeline job (pages -> triples, full plan incl. pandas-UDF text
-extraction, mention detection, classification, merge, MinHash-LSH linking,
-connected components, triple assembly) on the SAME deterministic input
-({n_pages} pages, seed=42), each level in a fresh JVM. Timing excludes JVM
-startup, Python-worker warmup, corpus generation and input materialization.
+        eff_rows = "\n".join(_eff_row(a, b, e) for (a, b), e in effs.items())
+        t_all = {best[c]["triples"] for c in levels_m}
+        ident = f"{len(t_all) == 1} ({t_all.pop()})"
+        sections.append(f"""## mode `{m}` — {MODE_NOTES.get(m, '')}
 
-Evidence is POOLED per-level minima over every interleaved round recorded
-for this exact engine version (fingerprint {fp}) in
-BENCH/scaling_history.jsonl — {len(rounds)} rounds across
-{len(windows)} measurement windows. Rounds are ROUND-ROBIN-interleaved
-across levels within each window, and minima pool ACROSS windows, because
-host co-tenancy moves identical binaries ±25-30% between windows (the
-per-window pure-CPU control below quantifies it) — no single window is
-clean at every level, but the per-level minimum converges to the job's
-true cost.
+Pooled per-level minima over {len(rounds)} interleaved rounds across
+{len(windows)} measurement windows at this fingerprint+mode.
 
 | parallelism | wall (s) | pages/s | triples/s | rounds pooled |
 |---|---|---|---|---|
@@ -294,8 +336,63 @@ local[{headline[0]}]->local[{headline[1]}]):
 
 {eff_rows}
 
-Triples emitted identical at every level and round: {len(t_all) == 1} ({t_all.pop()}).
+Triples emitted identical at every level and round: {ident}.
+""")
+        summary["modes"][m] = {
+            "rounds_pooled": len(rounds),
+            "windows": len(windows),
+            "efficiencies": {f"{a}->{b}": round(e, 3) for (a, b), e in effs.items()},
+            "control_efficiencies": {
+                f"{a}->{b}": ctrl_effs[(a, b)] for a, b in pairs
+            },
+            "normalized": {
+                f"{a}->{b}": round(e / ctrl_effs[(a, b)], 3)
+                for (a, b), e in effs.items()
+                if ctrl_effs[(a, b)]
+            },
+            "levels": {
+                str(c): {
+                    "cores": c,
+                    "n_pages": n_pages,
+                    "secs": best[c]["secs"],
+                    "triples": best[c]["triples"],
+                    "pages_per_sec": round(n_pages / best[c]["secs"], 1),
+                    "triples_per_sec": round(best[c]["triples"] / best[c]["secs"], 1),
+                    "rounds": n_rounds[c],
+                }
+                for c in levels_m
+            },
+        }
+        # gate on RAW efficiency for the headline pair (the north-rule
+        # number) in EVERY measured mode; control-normalized is context
+        gate_ok = gate_ok and effs.get(headline, 0.0) >= 0.8
 
+    lo, hi = (2, 8)
+    md = f"""# BENCH/BASELINE — scaling evidence (N vs 4N proxy)
+
+Same KG-pipeline job (pages -> triples, full plan incl. pandas-UDF text
+extraction, mention detection, classification, merge, MinHash-LSH linking,
+connected components, triple assembly) on the SAME deterministic input
+({n_pages} pages, seed=42), each level in a fresh JVM. Timing excludes JVM
+startup, Python-worker warmup, corpus generation and input materialization.
+
+Evidence is POOLED per-level minima over every interleaved round recorded
+for this exact engine version (fingerprint {fp}) in
+BENCH/scaling_history.jsonl, keyed by (fingerprint, corpus size, MODE) —
+{total_rounds} rounds total. Rounds are ROUND-ROBIN-interleaved across
+levels within each window, and minima pool ACROSS windows, because host
+co-tenancy moves identical binaries ±25-30% between windows (the
+per-window pure-CPU control quantifies it) — no single window is clean at
+every level, but the per-level minimum converges to the job's true cost.
+
+Two modes are measured (round-3 verdict ask #1): the engine's own
+size-adaptive plan at this corpus size (`driver`) AND the forced
+fully-distributed plan (`distributed`) — the latter is the plan that runs
+at 100 TB, so its 2->8 pair is the evidence that the shuffle stages
+(mention-distinct exchange, merge groupBy, LSH self-join, star CC)
+scale, not just the extraction scan.
+
+{chr(10).join(sections)}
 ## Why the low pair is the headline (single-box ceiling + control)
 
 All {os.cpu_count()} sandbox cores share ONE memory bus and one frequency/
@@ -307,41 +404,14 @@ the hardware. The high pair additionally hits the shared memory-bandwidth
 ceiling (the engine's hot stages move strings/Arrow batches) — a
 single-box artifact: on a real cluster each of the 4N executors brings its
 own memory bus and power budget, which is what the
-local[{headline[0]}] -> local[{headline[1]}] pair models. The high pair is
-reported anyway as the transparent single-box stress number.
+local[{lo}] -> local[{hi}] pair models. The high pair is reported anyway
+as the transparent single-box stress number.
 """
     (ROOT / "BENCH").mkdir(exist_ok=True)
     (ROOT / "BENCH" / "BASELINE.md").write_text(md)
     print(md)
-    print(json.dumps({
-        "fingerprint": fp,
-        "rounds_pooled": len(rounds),
-        "windows": len(windows),
-        "efficiencies": {f"{a}->{b}": round(e, 3) for (a, b), e in effs.items()},
-        "control_efficiencies": {
-            f"{a}->{b}": ctrl_effs[(a, b)] for a, b in pairs
-        },
-        "normalized": {
-            f"{a}->{b}": round(e / ctrl_effs[(a, b)], 3)
-            for (a, b), e in effs.items()
-            if ctrl_effs[(a, b)]
-        },
-        "levels": {
-            str(c): {
-                "cores": c,
-                "n_pages": n_pages,
-                "secs": best[c]["secs"],
-                "triples": best[c]["triples"],
-                "pages_per_sec": round(n_pages / best[c]["secs"], 1),
-                "triples_per_sec": round(best[c]["triples"] / best[c]["secs"], 1),
-                "rounds": n_rounds[c],
-            }
-            for c in levels
-        },
-    }))
-    # gate on RAW efficiency for the headline pair (the north-rule number);
-    # the control-normalized value is reported as context, never as the gate
-    return 0 if effs.get(headline, 0.0) >= 0.8 else 1
+    print(json.dumps(summary))
+    return 0 if gate_ok else 1
 
 
 if __name__ == "__main__":

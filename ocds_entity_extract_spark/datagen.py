@@ -163,18 +163,59 @@ class _Universe:
         e.variants.append(surface)
 
 
+# ---- coined-token entity phase (uncapped universe) -----------------------
+# Beyond the handcrafted-vocabulary capacity (~1200/1600/1200 entities, the
+# round-3 caps) the universe keeps growing with COINED surname tokens whose
+# pairwise separation is guaranteed BY CONSTRUCTION instead of by the
+# O(N^2) shingle-containment scan (which is driver-side and cannot build a
+# 100k-entity universe in reasonable time):
+#
+#   token(i) = SYL[a] SYL[b] SYL[c] SYL[(a+b+c) mod 59]
+#
+# where (a,b,c) are the base-59 digits of a multiplicative permutation of
+# the index. This is an MDS [4,3,2] code over GF(59): any two distinct
+# tokens differ in >= 2 syllable positions (>= 4 characters spread across
+# two regions), which keeps cross-entity shingle containment far below the
+# linker's 0.80 verify threshold, while every alias KEEPS the token (and a
+# shared >= 10-char slug prefix, so the prefix block always catches the
+# pair) — within-group containment stays >= 0.9. Tokens are unique across
+# all entity kinds (one global counter), so exact-slug collisions are
+# impossible by construction; a residual exact-slug check still guards the
+# coined-vs-handcrafted boundary.
+_SYL = [c + v for c in "bcdglmnprstvz" for v in "aeiou"][:59]
+_SYL_Q = 59
+_SYL_SPACE = _SYL_Q ** 3          # 205,379 unique tokens
+_SYL_MULT = 125_789               # coprime with 59 -> bijection
+
+
+def _coined_token(i: int) -> str:
+    j = (i * _SYL_MULT) % _SYL_SPACE
+    a, b, c = j // (_SYL_Q * _SYL_Q), (j // _SYL_Q) % _SYL_Q, j % _SYL_Q
+    d = (a + b + c) % _SYL_Q
+    return (_SYL[a] + _SYL[b] + _SYL[c] + _SYL[d]).capitalize()
+
+
+# handcrafted-phase capacity: what the curated vocabulary + the exact
+# pairwise separation check can deliver (measured); beyond these the coined
+# phase takes over
+_HC_PERSON, _HC_COMPANY, _HC_INST = 1200, 1600, 1200
+
+
 def _mk_entities(rng: random.Random, n_person: int, n_company: int,
                  n_inst: int) -> _Universe:
     uni = _Universe()
     ents = uni.ents
     tries = 0
-    while sum(e.etype == "person" for e in ents) < n_person and tries < 10_000:
+    hc_person = min(n_person, _HC_PERSON)
+    hc_company = min(n_company, _HC_COMPANY)
+    hc_inst = min(n_inst, _HC_INST)
+    while sum(e.etype == "person" for e in ents) < hc_person and tries < 10_000:
         tries += 1
         name = f"{rng.choice(FIRST)} {rng.choice(LAST)} {rng.choice(LAST)}"
         e = uni.add(name, "person")
         if e and rng.random() < 0.30:          # middle-name-drop alias
             uni.add_alias(e, " ".join(name.split()[:2]))
-    while sum(e.etype == "company" for e in ents) < n_company and tries < 20_000:
+    while sum(e.etype == "company" for e in ents) < hc_company and tries < 20_000:
         tries += 1
         stem = f"{rng.choice(CO_STEM)} {rng.choice(CO_NAME)} {rng.choice(CO_NAME)}"
         suffix = rng.choice(CO_SUFFIX)
@@ -185,7 +226,7 @@ def _mk_entities(rng: random.Random, n_person: int, n_company: int,
                 uni.add_alias(e, stem)
             elif r < 0.45:                      # suffix-abbrev alias
                 uni.add_alias(e, f"{stem} {suffix.replace('.', '')}")
-    while sum(e.etype == "institution" for e in ents) < n_inst and tries < 30_000:
+    while sum(e.etype == "institution" for e in ents) < hc_inst and tries < 30_000:
         tries += 1
         base = f"{rng.choice(INST_KW)} {rng.choice(INST_TOPIC)}"
         if rng.random() < 0.5:
@@ -198,6 +239,84 @@ def _mk_entities(rng: random.Random, n_person: int, n_company: int,
                     uni.add_alias(e, base)
         else:
             uni.add(base, "institution")
+
+    # ---- coined phase (only when requested counts exceed the handcrafted
+    # capacity — i.e. large scaling corpora; test-sized corpora never enter)
+    tok_i = 0
+
+    def _next_token() -> str:
+        nonlocal tok_i
+        t = _coined_token(tok_i)
+        tok_i += 1
+        return t
+
+    def _add_coined(name: str, etype: str) -> Entity | None:
+        slug = simple_name_py(name)
+        if slug in uni._slugs:                # boundary guard vs handcrafted
+            return None
+        uni._slugs.add(slug)                  # exact-slug registry only: the
+        e = Entity(name=name, etype=etype)    # token's MDS separation replaces
+        ents.append(e)                        # the shingle scan (see above)
+        return e
+
+    def _alias_coined(e: Entity, surface: str) -> None:
+        slug = simple_name_py(surface)
+        if slug in uni._slugs:
+            return
+        uni._slugs.add(slug)
+        e.variants.append(surface)
+
+    counts = {"person": 0, "company": 0, "institution": 0}
+    for e in ents:
+        counts[e.etype] += 1
+    while counts["person"] < n_person:
+        # BOTH surnames coined: reusing a handcrafted LAST here would make
+        # "first-tok-last" contain ~0.9 of a handcrafted middle-drop alias
+        # "first-last" and cross-merge (measured); two fresh tokens keep
+        # every cross-group containment at the shared-first-name floor.
+        # The second-surname-drop alias shares a >= 10-char slug prefix
+        # with the canonical, so the prefix block always catches the pair.
+        first, tok1, tok2 = rng.choice(FIRST), _next_token(), _next_token()
+        e = _add_coined(f"{first} {tok1} {tok2}", "person")
+        if e:
+            counts["person"] += 1
+            if rng.random() < 0.40:
+                _alias_coined(e, f"{first} {tok1}")
+    while counts["company"] < n_company:
+        # FULLY coined brand (no CO_STEM): a 16-char shared stem would
+        # dominate the shingle set — cross-entity containment creeps
+        # toward the verify threshold and, at 10k+ same-stem companies,
+        # stem-driven LSH/prefix buckets blow past max_bucket and the cap
+        # trims true alias pairs. With token-only names the pair-matching
+        # buckets are token-driven (tiny) and the only shared boilerplate
+        # is the short legal suffix, whose hot buckets the cap can trim
+        # harmlessly (they carry no true pairs — suffix shingles are
+        # absent from the suffix-drop alias).
+        tok1, tok2 = _next_token(), _next_token()
+        suffix = rng.choice(CO_SUFFIX)
+        e = _add_coined(f"{tok1} {tok2} {suffix}", "company")
+        if e:
+            counts["company"] += 1
+            r = rng.random()
+            if r < 0.40:                        # suffix-drop alias
+                _alias_coined(e, f"{tok1} {tok2}")
+            elif r < 0.70:                      # suffix-abbrev alias
+                _alias_coined(e, f"{tok1} {tok2} {suffix.replace('.', '')}")
+    while counts["institution"] < n_inst:
+        # keyword kept (classification needs it) but TWO tokens so the
+        # kw's shingles are a minority of the slug (same rationale)
+        kw, tok1, tok2 = rng.choice(INST_KW), _next_token(), _next_token()
+        if rng.random() < 0.5:
+            place = rng.choice(PLACES)
+            e = _add_coined(f"{kw} {tok1} {tok2} de {place}", "institution")
+            if e:
+                counts["institution"] += 1
+                e.place = place
+                if rng.random() < 0.5:          # place-drop alias
+                    _alias_coined(e, f"{kw} {tok1} {tok2}")
+        else:
+            if _add_coined(f"{kw} {tok1} {tok2}", "institution"):
+                counts["institution"] += 1
     return uni
 
 
@@ -222,18 +341,30 @@ def generate_corpus(n_pages: int, seed: int = 42,
     set of (subj, pred, obj), aux a dict with entities + classifier_override
     rows + membership facts.
 
-    The entity universe scales with the corpus (floor 60/80/60, ~1 entity
-    per ~350 pages, capped): a realistic web corpus grows its entity set
-    with its page count, so the linking/CC stages carry load proportional
-    to input instead of being a constant-size afterthought at large SF.
+    The entity universe scales with the corpus UNCAPPED (floor 60/80/60,
+    ~1 entity per ~180 pages): a realistic web corpus grows its entity set
+    with its page count, so the linking/CC/merge stages carry load
+    proportional to input instead of being a constant-size afterthought at
+    large SF — at 4M pages the universe is ~72k entities / ~110k distinct
+    surfaces, past the pipeline's `max_driver_linking` threshold, so the
+    dim-scale broadcast-vs-shuffle decision and distributed linking are
+    genuinely stressed (round-3 verdict gap). Beyond the handcrafted
+    vocabulary's capacity, names carry coined MDS-separated surname tokens
+    (see `_coined_token`) so universe build stays O(N).
+
+    Product randomness comes from a DEDICATED random.Random stream
+    (seed ^ 0x70D0), so future product-side additions can never perturb
+    the page/entity stream (and vice versa) — goldens stay stable across
+    entity-kind evolution.
     """
     if n_person is None:
-        n_person = max(60, min(1200, n_pages // 500))
+        n_person = max(60, n_pages // 150)
     if n_company is None:
-        n_company = max(80, min(1600, n_pages // 375))
+        n_company = max(80, n_pages // 125)
     if n_inst is None:
-        n_inst = max(60, min(1200, n_pages // 500))
+        n_inst = max(60, n_pages // 300)
     rng = random.Random(seed)
+    prod_rng = random.Random(seed ^ 0x70D0)
     uni = _mk_entities(rng, n_person, n_company, n_inst)
     ents = uni.ents
     persons = [e for e in ents if e.etype == "person"]
@@ -259,12 +390,12 @@ def generate_corpus(n_pages: int, seed: int = 42,
     prod_catalog: list[tuple[str, str]] = []
     seen_pids: set[str] = set()
     while len(prod_catalog) < n_products:
-        pid13 = "".join(str(rng.randint(0, 9)) for _ in range(13))
+        pid13 = "".join(str(prod_rng.randint(0, 9)) for _ in range(13))
         if pid13 in seen_pids:
             continue
         seen_pids.add(pid13)
         prod_catalog.append(
-            (pid13, f"{rng.choice(PROD_A)} {rng.choice(PROD_B)}")
+            (pid13, f"{prod_rng.choice(PROD_A)} {prod_rng.choice(PROD_B)}")
         )
 
     base_ts = datetime(2025, 1, 1, tzinfo=timezone.utc)
@@ -338,25 +469,26 @@ def generate_corpus(n_pages: int, seed: int = 42,
             for e, _surf in picks:
                 contact_facts.append((e, page_contact))
 
-        if rng.random() < 0.08:                   # procurement-report items
+        if prod_rng.random() < 0.08:              # procurement-report items
             # product sentences (≙ contract.items, reference
             # extract.js:40-106): id, desc, qty, unit price, overprice
             # (60% zero; the ≠0 / >0 gates both get exercised), reference
-            # average (occasionally zero to exercise the avg≠0 gate)
-            for pid13, desc in rng.sample(prod_catalog, rng.randint(1, 2)):
-                qty = rng.randint(1, 500)
-                unit = f"{rng.randint(5, 900)}.{rng.choice(_CENTS)}"
-                r = rng.random()
+            # average (occasionally zero to exercise the avg≠0 gate).
+            # All draws here come from prod_rng (the dedicated stream).
+            for pid13, desc in prod_rng.sample(prod_catalog, prod_rng.randint(1, 2)):
+                qty = prod_rng.randint(1, 500)
+                unit = f"{prod_rng.randint(5, 900)}.{prod_rng.choice(_CENTS)}"
+                r = prod_rng.random()
                 if r < 0.60:
                     over = "0.00"
                 elif r < 0.85:
-                    over = f"{rng.randint(0, 80)}.{rng.choice(_CENTS)}"
+                    over = f"{prod_rng.randint(0, 80)}.{prod_rng.choice(_CENTS)}"
                 else:
-                    over = f"-{rng.randint(0, 40)}.{rng.choice(_CENTS)}"
+                    over = f"-{prod_rng.randint(0, 40)}.{prod_rng.choice(_CENTS)}"
                 avg = (
                     "0.00"
-                    if rng.random() < 0.05
-                    else f"{rng.randint(1, 200)}.{rng.choice(_CENTS)}"
+                    if prod_rng.random() < 0.05
+                    else f"{prod_rng.randint(1, 200)}.{prod_rng.choice(_CENTS)}"
                 )
                 paras.append(
                     f"<p>Producto {pid13}: {desc}, {qty} unidades a "

@@ -142,10 +142,17 @@ def connected_components(
     return children.unionByName(roots).distinct()
 
 
-def canonical_mapping(all_ids: DataFrame, edges: DataFrame, id_col: str = "entity_id") -> DataFrame:
+def canonical_mapping(
+    all_ids: DataFrame,
+    edges: DataFrame,
+    id_col: str = "entity_id",
+    small_graph_threshold: int = 1_000_000,
+) -> DataFrame:
     """All distinct ids + sameAs edges -> total (entity_id, canonical_id) map
-    (identity for singleton nodes)."""
-    cc = connected_components(edges)
+    (identity for singleton nodes). ``small_graph_threshold`` passes through
+    to `connected_components` — 0 forces the distributed star loop (used by
+    the forced-distributed scaling evidence, bench/pipeline_job.py)."""
+    cc = connected_components(edges, small_graph_threshold=small_graph_threshold)
     return (
         all_ids.select(F.col(id_col).alias("entity_id"))
         .distinct()

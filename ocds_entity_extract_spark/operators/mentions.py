@@ -340,9 +340,14 @@ def canon_mention_rows(spans: DataFrame, surf2canon_bc) -> DataFrame:
             urls = batch.column(0)
             arrs = batch.column(1)
             flat = pc.list_flatten(arrs)
+            # int64 up-front: list_parent_indices is int32 for ListArray and
+            # numpy keeps int32 for int32-array * python-int, so the packed
+            # key `parents * k` could silently wrap past 2^31 once
+            # rows-per-batch x distinct-canonicals-per-batch grows (the
+            # defensive cast makes the packing safe at any batch/config)
             parents = pc.list_parent_indices(arrs).to_numpy(
                 zero_copy_only=False
-            )
+            ).astype(np.int64, copy=False)
             enc = flat.dictionary_encode()
             uniq = enc.dictionary.to_pylist()
             canon_uniq: dict[str, int] = {}

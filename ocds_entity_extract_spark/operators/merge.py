@@ -45,11 +45,23 @@ def rank_type(col) -> F.Column:
     )
 
 
+def source_run(col="warc_ts") -> F.Column:
+    """Crawl-run id for a capture timestamp: the monthly crawl bucket
+    (Common-Crawl-style run granularity). ≙ the reference's sourceRun
+    provenance distinction (extract.js:674-682), which stamps each source
+    with the extraction run it came from — here derived from the capture
+    time so it is stable across re-runs of the engine itself."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_format(c, "yyyy-MM")
+
+
 def merge_entities(mentions: DataFrame, id_col: str = "entity_id") -> DataFrame:
     """Classified mentions -> merged entities table (one shuffle on id).
 
     `name_norm` rides in the first-wins ordering struct so two different
     surfaces on the same (warc_ts, url) resolve deterministically.
+    `source_runs` (crawl-run set, ≙ reference sourceRun extract.js:674-682)
+    rides the same shuffle as a second collect_set.
     """
     first_order = F.struct(F.col("warc_ts"), F.col("url"), F.col("name_norm"))
     agg = (
@@ -64,6 +76,9 @@ def merge_entities(mentions: DataFrame, id_col: str = "entity_id") -> DataFrame:
             F.min("warc_ts").alias("first_seen"),
             F.max("warc_ts").alias("last_seen"),
             F.array_sort(F.collect_set("domain")).alias("sources"),
+            F.array_sort(F.collect_set(source_run("warc_ts"))).alias(
+                "source_runs"
+            ),
         )
     )
     return agg.withColumn(
@@ -101,6 +116,7 @@ def merge_entities_salted(
             F.min("warc_ts").alias("p_first"),
             F.max("warc_ts").alias("p_last"),
             F.collect_set("domain").alias("p_sources"),
+            F.collect_set(source_run("warc_ts")).alias("p_runs"),
         )
     )
     agg = lvl1.groupBy(id_col).agg(
@@ -117,6 +133,9 @@ def merge_entities_salted(
         F.max("p_last").alias("last_seen"),
         F.array_sort(F.array_distinct(F.flatten(F.collect_list("p_sources")))).alias(
             "sources"
+        ),
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("p_runs")))).alias(
+            "source_runs"
         ),
     )
     return agg.withColumn(

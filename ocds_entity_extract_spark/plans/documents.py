@@ -74,6 +74,11 @@ def entity_documents(
     Pass None for a mention-only corpus — the derived fields come out
     zero/null/empty.
     """
+    if "source_runs" not in entities.columns:
+        # legacy entities tables (pre-sourceRun) still roll up cleanly
+        entities = entities.withColumn(
+            "source_runs", F.array().cast("array<string>")
+        )
     canon = (
         entities.join(mapping, "entity_id")
         .groupBy("canonical_id")
@@ -102,6 +107,12 @@ def entity_documents(
             F.array_sort(F.array_distinct(F.flatten(F.collect_list("sources")))).alias(
                 "sources"
             ),
+            # crawl-run provenance set (≙ reference sourceRun,
+            # extract.js:674-682) — unioned across merged aliases exactly
+            # like sources
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("source_runs")))
+            ).alias("source_runs"),
         )
     )
 
@@ -225,6 +236,7 @@ def entity_documents(
             F.coalesce(F.col("member_count"), F.lit(0)).alias("members"),
         ).alias("counters"),
         "sources",
+        "source_runs",
         "first_seen",
         "last_seen",
     )

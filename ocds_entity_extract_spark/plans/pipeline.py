@@ -82,6 +82,7 @@ def build_triples(
     surface_broadcast: str = "auto",   # auto | force | aqe
     emit_areas: bool = True,
     max_driver_linking: int = 100_000,
+    cc_small_graph_threshold: int = 1_000_000,
 ) -> PipelineResult:
     """Run the full plan; all returned DataFrames are lazy except cached
     intermediates."""
@@ -106,12 +107,18 @@ def build_triples(
 
     dim = with_entity_type(surface_dim_batched(spans), classifier_override)
     dim_count = None
+    # the dim is cached in EVERY mode (it has 4+ consumers: the mention
+    # probe, linking ids, the type-rank agg, and the assembly join —
+    # uncached, each would re-run the corpus-sized surface distinct); only
+    # the COUNT is mode-dependent, because counting is what unlocks the
+    # size-adaptive driver fast path that "aqe" exists to bypass
+    if cache_intermediates:
+        dim = dim.cache()
     if surface_broadcast == "force":
         use_broadcast = True
     elif surface_broadcast == "aqe":
         use_broadcast = False
     elif cache_intermediates:
-        dim = dim.cache()
         dim_count = dim.count()
         use_broadcast = dim_count <= max_broadcast_surfaces
     else:
@@ -176,7 +183,9 @@ def build_triples(
         mapping = F.broadcast(mapping_plain)
     else:
         edges = verified_edges(ids)
-        mapping_plain = canonical_mapping(ids, edges)
+        mapping_plain = canonical_mapping(
+            ids, edges, small_graph_threshold=cc_small_graph_threshold
+        )
         mapping = mapping_plain
     if cache_intermediates:
         mapping_plain = mapping_plain.cache()

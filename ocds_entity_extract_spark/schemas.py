@@ -76,6 +76,8 @@ ENTITIES_SCHEMA = StructType(
         StructField("first_seen", TimestampType(), True),
         StructField("last_seen", TimestampType(), True),
         StructField("sources", ArrayType(StringType()), False),
+        # crawl-run provenance set (≙ reference sourceRun, extract.js:674-682)
+        StructField("source_runs", ArrayType(StringType()), False),
     ]
 )
 
