@@ -28,7 +28,19 @@ def entry(spark: SparkSession) -> DataFrame:
     from ocds_entity_extract_spark.queries_ml import _kg_template_pages
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    return build_triples(spark, _kg_template_pages(docs)).triples
+    triples = build_triples(spark, _kg_template_pages(docs)).triples
+    # contract lock: the smoke must cover EVERY emitted predicate, not just
+    # ">0 rows" — a template regression that silently drops an edge family
+    # (e.g. products or contacts) fails here, at smoke time. Cheap: the
+    # pipeline caches its intermediates, so the driver's own collect()
+    # afterwards reuses them.
+    want = {
+        "mentions", "type", "sameAs", "memberOf", "inArea", "partOf",
+        "mentionsProduct",
+    }
+    got = {r["pred"] for r in triples.select("pred").distinct().collect()}
+    assert want <= got, f"entry() smoke is missing predicates: {want - got}"
+    return triples
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -30,6 +30,7 @@ HEADLINE = [
     "supplier_date_range",
     "dedup_exact",
     "dedup_minhash_docs",
+    "dedup_minhash_docs_fast",
     "simhash_docs",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
@@ -39,6 +40,7 @@ HEADLINE = [
     "multimodal_decode_stub",
     "dedup_clusters",
     "kg_merged_entities",
+    "kg_merged_entities_salted",
     "kg_pipeline_triples",
     "kg_pipeline_products",
     "events_sessionize",
@@ -114,6 +116,25 @@ def main() -> None:
             f" ({reps} reps)",
             file=sys.stderr,
         )
+
+    # Skew context for the salted-merge comparison (round-3 verdict ask #3):
+    # the kg_merged template corpus is deliberately hot-keyed — report what
+    # fraction of all mentions the hottest entity owns, so the
+    # kg_merged_entities vs kg_merged_entities_salted timings above can be
+    # read as "salted vs unsalted merge under N% single-key skew".
+    from pyspark.sql import functions as F_
+
+    _ents = qs["kg_merged_entities"](spark, sf_dir)
+    _hot = _ents.agg(
+        (F_.max("mention_count") / F_.sum("mention_count")).alias("f")
+    ).collect()[0]["f"]
+    hot_key_fraction = round(float(_hot), 4)
+    print(
+        f"# merge skew: hottest entity owns {hot_key_fraction:.1%} of "
+        f"mentions; unsalted {timings['kg_merged_entities']}s vs salted "
+        f"{timings['kg_merged_entities_salted']}s (medians above)",
+        file=sys.stderr,
+    )
 
     # ANN quality: recall@10 vs brute force, averaged over 3 query ids.
     # Context for reading the number: this corpus's per-query top-10 sits
@@ -206,6 +227,7 @@ def main() -> None:
                 "ann_recall_at_10": round(ann_recall, 3),
                 "ann_recall_at_10_probe1": round(ann_recall2, 3),
                 "ann_ivf_recall_at_10": round(ivf_recall, 3),
+                "merge_hot_key_fraction": hot_key_fraction,
                 "cpus": cpus,
             }
         )

@@ -90,10 +90,16 @@ def upsert_table(
 
     Scale notes: only partitions PRESENT IN THE UPDATE are read back and
     rewritten (`overwrite_partitions` is dynamic), so an incremental batch
-    touching k partitions costs O(k partitions), not O(table) — the same
-    copy-on-write cost model as Iceberg MERGE without positional deletes.
-    When `partition_by` is None the whole table rewrites (fine for dims,
-    wrong for facts — partition facts).
+    touching k partitions costs O(k data partitions) in rewrite I/O — the
+    same copy-on-write cost model as Iceberg MERGE without positional
+    deletes. One exception to "not O(table)": when `partition_by` is NOT a
+    subset of `key_cols` a key's partition value can CHANGE, so a
+    column-pruned scan of (key_cols + partition_by) over the whole table
+    runs to find partitions holding moved keys' stale rows — metadata-sized
+    I/O (two thin columns, no shuffle of data rows), but O(table rows); for
+    append-only / immutable-partition workloads put the partition column in
+    the key to skip it. When `partition_by` is None the whole table
+    rewrites (fine for dims, wrong for facts — partition facts).
     """
     from pyspark.sql.window import Window
 
@@ -113,9 +119,9 @@ def upsert_table(
         # ends duplicated across two partitions). The moved-key probe is a
         # column-pruned key scan; it is skipped entirely when partition_by
         # ⊆ key_cols, where a "moved key" is definitionally a different
-        # key. Caveat (documented): if a move drains a partition to zero
-        # rows, dynamic overwrite cannot rewrite the now-empty partition —
-        # its files are dropped by the next compact_table run.
+        # key. If a move drains a partition to zero rows, dynamic overwrite
+        # cannot rewrite the now-empty partition — those directories are
+        # deleted explicitly after the overwrite (below).
         touched = updates.select(*partition_by).distinct()
         if not set(partition_by) <= set(key_cols):
             upd_keys = updates.select(*key_cols).distinct()
@@ -145,7 +151,26 @@ def upsert_table(
     # snapshot isolation; Iceberg's writeTo does this transactionally)
     merged = merged.localCheckpoint(eager=True)
     if partition_by:
+        # drained partitions: every row of a touched partition moved away,
+        # so `merged` has nothing under that partition value and dynamic
+        # overwrite will never rewrite it — without an explicit delete the
+        # stale rows would survive (and compact_table merges files, it
+        # never drops rows). Anti-join is over the ALREADY-pruned `touched`
+        # set, so this is O(touched partitions).
+        import os
+        import shutil
+
+        drained = touched.join(
+            merged.select(*partition_by).distinct(), partition_by, "left_anti"
+        ).collect()
         cat.overwrite_partitions(table, merged, partition_by)
+        for r in drained:
+            rel = "/".join(
+                f"{c}={'__HIVE_DEFAULT_PARTITION__' if r[c] is None else r[c]}"
+                for c in partition_by
+            )
+            shutil.rmtree(os.path.join(cat.path(table), rel),
+                          ignore_errors=True)
     else:
         cat.replace_table(table, merged)
 

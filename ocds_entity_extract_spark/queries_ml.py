@@ -241,6 +241,23 @@ def q_dedup_minhash_docs(spark, sf_dir):
     return minhash_candidate_pairs(d)
 
 
+@query("dedup_minhash_docs_fast")
+def q_dedup_minhash_docs_fast(spark, sf_dir):
+    """The PRODUCTION MinHash family: identical banding/cap/verify plan but
+    per-shingle xxhash64 (functions/phash.fast_hash64, whole-stage codegen,
+    ~5x cheaper than the md5-derived portable family) — the configuration a
+    100 TB dedup run would use. No DuckDB oracle (xxhash64 is not
+    reproducible in DuckDB; rows-only check): correctness rides
+    (a) the md5 twin above under the full value-hash gate — same plan,
+    only the hash family differs — and (b) the pair-parity pytest
+    (test_minhash_fast_family_pair_parity: exact-Jaccard verification is
+    family-independent, clear near-dups found by both families)."""
+    from ocds_entity_extract_spark.operators.dedup import minhash_candidate_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_candidate_pairs(d, hash_family="fast")
+
+
 def _simhash_cte() -> str:
     """Shared DuckDB CTE body producing sh(doc_id, simhash) — the twin of
     operators/dedup.simhash64: per-token md5 -> first 16 hex chars as an
@@ -1088,21 +1105,24 @@ def _kg_merged_oracle_sql() -> str:
     """
 
 
-@query("kg_merged_entities", _kg_merged_oracle_sql())
-def q_kg_merged_entities(spark, sf_dir):
-    """Flagship stages 1-4 under the full value-hash gate: documents ->
-    deterministic template pages -> extract_text (REAL Arrow pandas UDF) ->
-    fused mention scan -> dictionary-encoded normalize+classify -> merge
-    aggregation — the same operator chain plans/pipeline.build_triples runs,
-    minus linking/CC (iterative; verified by golden P/R + linking_signatures
-    instead). See _kg_merged_oracle_sql for how the DuckDB twin mirrors the
-    pandas-UDF stage."""
+def _kg_merged_frame(spark, sf_dir, salted: bool):
+    """Shared body of kg_merged_entities / kg_merged_entities_salted:
+    documents -> deterministic template pages (with a deliberately HOT key,
+    Grupo Alfa0, mentioned on every 10th page) -> extract_text (REAL Arrow
+    pandas UDF) -> fused mention scan -> dictionary-encoded
+    normalize+classify -> merge aggregation. `salted` selects the one-level
+    groupBy vs the two-level salted twin (operators/merge.py:89) — both
+    produce identical rows (decomposable aggregates), so both sit under the
+    SAME DuckDB value-hash oracle."""
     from ocds_entity_extract_spark.operators.mentions import (
         detect_spans_fused,
         mentions_via_dim,
         surface_dim,
     )
-    from ocds_entity_extract_spark.operators.merge import merge_entities
+    from ocds_entity_extract_spark.operators.merge import (
+        merge_entities,
+        merge_entities_salted,
+    )
     from ocds_entity_extract_spark.functions.classify import with_entity_type
 
     docs = _t(spark, sf_dir, "documents")
@@ -1141,7 +1161,9 @@ def q_kg_merged_entities(spark, sf_dir):
     )
     spans = detect_spans_fused(pages)
     dim = with_entity_type(surface_dim(spans))
-    ents = merge_entities(mentions_via_dim(spans, dim, broadcast=True))
+    mentions = mentions_via_dim(spans, dim, broadcast=True)
+    merge = merge_entities_salted if salted else merge_entities
+    ents = merge(mentions)
     return ents.select(
         "entity_id",
         "name",
@@ -1154,6 +1176,101 @@ def q_kg_merged_entities(spark, sf_dir):
             F.array_sort(F.concat(F.array("name"), "other_names")), ","
         ).alias("all_names"),
         F.array_join("sources", ",").alias("sources"),
+    )
+
+
+@query("kg_merged_entities", _kg_merged_oracle_sql())
+def q_kg_merged_entities(spark, sf_dir):
+    """Flagship stages 1-4 under the full value-hash gate — the same
+    operator chain plans/pipeline.build_triples runs, minus linking/CC
+    (iterative; verified by golden P/R + linking_signatures instead). See
+    _kg_merged_oracle_sql for how the DuckDB twin mirrors the pandas-UDF
+    stage and _kg_merged_frame for the shared body."""
+    return _kg_merged_frame(spark, sf_dir, salted=False)
+
+
+@query("kg_merged_entities_salted", _kg_merged_oracle_sql())
+def q_kg_merged_entities_salted(spark, sf_dir):
+    """The SALTED merge twin (operators/merge.py:89, two-level groupBy on
+    (id, salt) -> id) on the same skewed template corpus — the hot key
+    Grupo Alfa0 carries ~12% of all mentions, so the salting path is
+    genuinely exercised, and the identical oracle SQL value-hash-gates the
+    decomposition (north_rule skew path; SURVEY §7.3)."""
+    return _kg_merged_frame(spark, sf_dir, salted=True)
+
+
+_SOURCE_RUNS_ORACLE = """
+    WITH m AS (
+      SELECT 'grupo-alfa-' || CAST(doc_id % 7 AS VARCHAR) AS entity_id,
+             'Grupo Alfa ' || CAST(doc_id % 7 AS VARCHAR) AS name_norm,
+             'https://d' || CAST(doc_id % 13 AS VARCHAR) || '.example.mx/'
+               || CAST(doc_id AS VARCHAR) AS url,
+             TIMESTAMP '2025-01-01 00:00:00'
+               + to_days(CAST(doc_id AS INTEGER)) AS warc_ts,
+             'd' || CAST(doc_id % 13 AS VARCHAR) || '.example.mx' AS domain
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY entity_id ORDER BY warc_ts, url, name_norm
+      ) AS rn
+      FROM m
+    )
+    SELECT entity_id,
+           max(CASE WHEN rn = 1 THEN name_norm END) AS name,
+           CAST(count(*) AS BIGINT) AS mention_count,
+           CAST(count(DISTINCT url) AS BIGINT) AS page_count,
+           strftime(min(warc_ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
+           strftime(max(warc_ts), '%Y-%m-%d %H:%M:%S') AS last_seen,
+           array_to_string(list_sort(list_distinct(list(domain))), ',')
+             AS sources,
+           array_to_string(
+             list_sort(list_distinct(list(strftime(warc_ts, '%Y-%m')))), ',')
+             AS source_runs
+    FROM ranked
+    GROUP BY entity_id
+    """
+
+
+@query("entity_source_runs", _SOURCE_RUNS_ORACLE)
+def q_entity_source_runs(spark, sf_dir):
+    """sourceRun provenance (≙ reference extract.js:674-682): merged
+    entities carry the SET of crawl runs (monthly capture buckets,
+    operators/merge.source_run) they were seen in, alongside the domain
+    `sources` set. Mentions are synthesized directly over documents with
+    day-granularity timestamps so each entity spans many runs — the whole
+    merge aggregate (first-wins name, counts, date range, both provenance
+    sets) sits under the DuckDB value-hash gate."""
+    from ocds_entity_extract_spark.operators.merge import merge_entities
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    mentions = d.select(
+        F.concat(F.lit("grupo-alfa-"), (F.col("doc_id") % 7).cast("string")).alias("entity_id"),
+        F.concat(F.lit("Grupo Alfa "), (F.col("doc_id") % 7).cast("string")).alias("name_norm"),
+        F.lit("company").alias("entity_type"),
+        F.concat(
+            F.lit("https://d"), (F.col("doc_id") % 13).cast("string"),
+            F.lit(".example.mx/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        (
+            F.lit("2025-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(days=F.col("doc_id").cast("int"))
+        ).alias("warc_ts"),
+        F.concat(
+            F.lit("d"), (F.col("doc_id") % 13).cast("string"),
+            F.lit(".example.mx"),
+        ).alias("domain"),
+    )
+    ents = merge_entities(mentions)
+    return ents.select(
+        "entity_id",
+        "name",
+        F.col("mention_count").cast("bigint").alias("mention_count"),
+        F.col("page_count").cast("bigint").alias("page_count"),
+        F.date_format("first_seen", "yyyy-MM-dd HH:mm:ss").alias("first_seen"),
+        F.date_format("last_seen", "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+        F.array_join("sources", ",").alias("sources"),
+        F.array_join("source_runs", ",").alias("source_runs"),
     )
 
 

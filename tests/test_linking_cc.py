@@ -161,3 +161,56 @@ def test_build_triples_driver_vs_distributed_linking(spark, pages_df):
     t_fast = {tuple(r) for r in fast.triples.collect()}
     t_slow = {tuple(r) for r in slow.triples.collect()}
     assert t_fast == t_slow and len(t_fast) > 0
+
+
+def test_build_triples_parity_on_coined_corpus(spark, monkeypatch):
+    """Round-4 scaling evidence companion: on a corpus whose entity
+    universe extends past the handcrafted vocabulary into COINED tokens
+    (datagen._coined_token — the regime the 4M-page scaling corpus runs
+    in), the engine's own adaptive plan and the fully-forced distributed
+    plan (the exact knobs bench/pipeline_job.py's SPARK_GRAFT_MODE=
+    distributed sets) emit the identical triple set, and the golden
+    linking quality holds (precision/recall >= 0.95, the BASELINE gate)."""
+    import ocds_entity_extract_spark.datagen as dg
+    from ocds_entity_extract_spark.plans.pipeline import build_triples
+    from ocds_entity_extract_spark.schemas import PAGES_SCHEMA
+
+    # shrink the handcrafted phase so the coined phase engages at unit-test
+    # cost (the real caps make universe build O(minutes))
+    monkeypatch.setattr(dg, "_HC_PERSON", 20)
+    monkeypatch.setattr(dg, "_HC_COMPANY", 25)
+    monkeypatch.setattr(dg, "_HC_INST", 20)
+    pages, golden, aux = dg.generate_corpus(
+        n_pages=350, seed=7, n_person=60, n_company=70, n_inst=50
+    )
+    # the coined phase genuinely engaged: some entity carries a coined
+    # 8-char token (4 syllables of 2 chars) absent from the handcrafted
+    # vocabularies
+    coined = [
+        e for e in aux["entities"]
+        if any(len(w) == 8 and w.isalpha() and w[0].isupper()
+               for w in e.name.split())
+    ]
+    assert len(coined) > 50
+
+    df = spark.createDataFrame(pages, schema=PAGES_SCHEMA)
+    fast = build_triples(spark, df)
+    dist = build_triples(
+        spark,
+        df,
+        max_driver_linking=0,
+        cc_small_graph_threshold=0,
+        surface_broadcast="aqe",
+    )
+    t_fast = {tuple(r) for r in fast.triples.collect()}
+    t_dist = {tuple(r) for r in dist.triples.collect()}
+    assert t_fast == t_dist and len(t_fast) > 0
+
+    # linking quality on the coined corpus (golden P/R, BASELINE >= 0.95)
+    for pred in ("mentions", "sameAs", "type"):
+        got = {t for t in t_fast if t[1] == pred}
+        want = {t for t in golden if t[1] == pred}
+        tp = len(got & want)
+        prec = tp / len(got) if got else 1.0
+        rec = tp / len(want) if want else 1.0
+        assert prec >= 0.95 and rec >= 0.95, (pred, prec, rec)

@@ -156,6 +156,38 @@ def test_upsert_moved_key_rewrites_old_partition(spark, tmp_path):
     ]
 
 
+def test_upsert_drained_partition_deleted(spark, tmp_path):
+    """When an update moves the ONLY row of a partition elsewhere, dynamic
+    overwrite cannot rewrite the now-empty partition — upsert_table must
+    delete the drained directory explicitly, or the stale row survives and
+    the key is served duplicated (and compact_table would faithfully carry
+    the duplicate forward, since compaction merges files, never rows)."""
+    from ocds_entity_extract_spark.materialize import compact_table, upsert_table
+    from ocds_entity_extract_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [("a", "p1", 1, "v1"), ("c", "p2", 1, "v3")],   # p1 has ONLY key a
+        "id string, part string, ver int, val string",
+    )
+    upsert_table(cat, "t", base, ["id"], "ver", partition_by=["part"])
+
+    moved = spark.createDataFrame(
+        [("a", "p2", 2, "v1moved")],     # drains p1 to zero rows
+        "id string, part string, ver int, val string",
+    )
+    upsert_table(cat, "t", moved, ["id"], "ver", partition_by=["part"])
+
+    rows = [(r["id"], r["part"], r["ver"], r["val"]) for r in cat.read("t").collect()]
+    assert sorted(rows) == [("a", "p2", 2, "v1moved"), ("c", "p2", 1, "v3")]
+
+    # and the fix survives compaction (the round-3 docstring wrongly
+    # claimed compaction would drop the stale row)
+    compact_table(cat, "t", partition_by=["part"])
+    rows = [(r["id"], r["part"], r["ver"], r["val"]) for r in cat.read("t").collect()]
+    assert sorted(rows) == [("a", "p2", 2, "v1moved"), ("c", "p2", 1, "v3")]
+
+
 def test_compact_partitioned_reduces_files(spark, tmp_path):
     """compact_table with partition_by must not multiply files (the old
     round-robin repartition wrote up to n_files x n_partitions)."""

@@ -101,3 +101,53 @@ def test_detect_spans_fused_matches_jvm_path(spark, pages_df):
     assert len(jvm) == len(py)
     for a, b in zip(jvm, py):
         assert a == b, a["url"]
+
+
+def test_span_regex_alternatives_carry_gate_tokens():
+    """Drift guard for the substring prescan gates (mentions.py:74): every
+    alternative of a GATED span regex must contain one of its gate tokens,
+    else adding e.g. 'secretario' to ROLE_RE without extending
+    MEMBER_GATE_TOKENS would silently drop those spans on gated pages.
+    The split on '|' is valid because these regexes carry no nested
+    top-level alternation (asserted first)."""
+    from ocds_entity_extract_spark.operators.mentions import (
+        CONTACT_GATE_TOKENS,
+        CONTACT_RE,
+        MEMBER_GATE_TOKENS,
+        PRODUCT_GATE_TOKENS,
+        PRODUCT_RE,
+        ROLE_RE,
+    )
+
+    def alternatives(pattern: str) -> list[str]:
+        body = pattern
+        if body.startswith("(?:") and body.endswith(")"):
+            body = body[3:-1]
+        depth = 0
+        alts, cur = [], []
+        for ch in body:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "|" and depth == 0:
+                alts.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        alts.append("".join(cur))
+        return alts
+
+    for alt in alternatives(ROLE_RE):
+        assert any(tok in alt.lower() for tok in MEMBER_GATE_TOKENS), (
+            f"ROLE_RE alternative {alt!r} matches no MEMBER_GATE_TOKENS "
+            "token - extend the gates or the membership prescan drops it"
+        )
+    for alt in alternatives(CONTACT_RE):
+        assert any(tok in alt for tok in CONTACT_GATE_TOKENS), (
+            f"CONTACT_RE alternative {alt!r} matches no CONTACT_GATE_TOKENS"
+        )
+    for alt in alternatives(PRODUCT_RE):
+        assert any(tok in alt for tok in PRODUCT_GATE_TOKENS), (
+            f"PRODUCT_RE alternative {alt!r} matches no PRODUCT_GATE_TOKENS"
+        )
