@@ -242,6 +242,25 @@ def _bucket_pairs(
     ).select("p.src", "p.dst")
 
 
+def _spread(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Explicit repartition to defaultParallelism, AQE-coalescing-proof.
+
+    The session deliberately coalesces small shuffles by SIZE
+    (parallelismFirst=false) because the CC loop's KB-sized exchanges
+    drown in per-task scheduling otherwise. The entity-LINKING stages are
+    the opposite case: their inputs are small in BYTES (108k slugs ≈ 3 MB)
+    but CPU-DENSE per byte (per-shingle md5, windowed bucket counts, pair
+    explosion, set intersections) — AQE sees 3 MB, plans 1 task, and the
+    whole stage runs single-threaded at any core count (measured: the
+    signature build was ~12 s FLAT from local[2] to local[8]). An explicit
+    numPartitions pins the exchange width so the dense map work spreads;
+    the tiny extra shuffle is noise. Cluster analogue: same call, same
+    reason — bytes-based coalescing misjudges CPU-dense stages regardless
+    of cluster size."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
 def _lsh_pairs(sig: DataFrame, id_col: str, max_bucket: int) -> DataFrame:
     """Signature table -> LSH candidate (src, dst) pairs, src < dst
     (see `_bucket_pairs` for the single-shuffle pair generation)."""
@@ -250,7 +269,10 @@ def _lsh_pairs(sig: DataFrame, id_col: str, max_bucket: int) -> DataFrame:
         F.col("b.band_id").alias("band_id"),
         F.col("b.band_hash").alias("band_hash"),
     )
-    return _bucket_pairs(buckets, ["band_id", "band_hash"], id_col, max_bucket)
+    return _bucket_pairs(
+        _spread(buckets, ["band_id", "band_hash"]),
+        ["band_id", "band_hash"], id_col, max_bucket,
+    )
 
 
 def _prefix_pairs(
@@ -261,7 +283,7 @@ def _prefix_pairs(
     pref = base.select(
         F.col(id_col), F.substring(id_col, 1, prefix_len).alias("pfx")
     ).filter(F.length(id_col) >= prefix_len)
-    return _bucket_pairs(pref, ["pfx"], id_col, max_bucket)
+    return _bucket_pairs(_spread(pref, ["pfx"]), ["pfx"], id_col, max_bucket)
 
 
 def candidate_pairs(
@@ -274,11 +296,15 @@ def candidate_pairs(
 ) -> DataFrame:
     """DISTINCT ids -> candidate (src, dst) pairs, src < dst, deduped."""
     base = entities.select(id_col).distinct()
-    sig = minhash_signature_table(with_shingles(base, id_col), id_col, num_hashes, band_size)
+    sig = minhash_signature_table(
+        _spread(with_shingles(base, id_col)), id_col, num_hashes, band_size
+    )
     lsh_pairs = _lsh_pairs(sig, id_col, max_bucket)
-    return lsh_pairs.unionByName(
-        _prefix_pairs(base, id_col, max_bucket, prefix_len)
-    ).distinct()
+    return (
+        lsh_pairs.unionByName(_prefix_pairs(base, id_col, max_bucket, prefix_len))
+        .transform(lambda df: _spread(df, ["src", "dst"]))
+        .dropDuplicates()
+    )
 
 
 def verified_edges(
@@ -308,13 +334,18 @@ def verified_edges(
     invocations accumulate executor storage.
     """
     base = entities.select(id_col).distinct()
-    sig = minhash_signature_table(with_shingles(base, id_col), id_col, num_hashes, band_size)
+    sig = minhash_signature_table(
+        _spread(with_shingles(base, id_col)), id_col, num_hashes, band_size
+    )
     if cache_signatures:
         sig = sig.cache()
 
-    pairs = _lsh_pairs(sig, id_col, max_bucket).unionByName(
-        _prefix_pairs(base, id_col, max_bucket, prefix_len)
-    ).distinct()
+    pairs = (
+        _lsh_pairs(sig, id_col, max_bucket)
+        .unionByName(_prefix_pairs(base, id_col, max_bucket, prefix_len))
+        .transform(lambda df: _spread(df, ["src", "dst"]))
+        .dropDuplicates()
+    )
 
     sh = sig.select(F.col(id_col), F.col("sh_hashed"))
     joined = (
