@@ -390,7 +390,13 @@ size-adaptive plan at this corpus size (`driver`) AND the forced
 fully-distributed plan (`distributed`) — the latter is the plan that runs
 at 100 TB, so its 2->8 pair is the evidence that the shuffle stages
 (mention-distinct exchange, merge groupBy, LSH self-join, star CC)
-scale, not just the extraction scan.
+scale, not just the extraction scan. Both modes emit the IDENTICAL
+triple set — the per-mode tables show the same triple count at every
+level and round, and set-equality (plus per-predicate P/R vs the golden
+corpus) is pytest-gated in
+tests/test_linking_cc.py::test_build_triples_driver_vs_distributed_linking
+— so the two timing sections compare PLANS on fixed output, not
+different outputs.
 
 {chr(10).join(sections)}
 ## Why the low pair is the headline (single-box ceiling + control)
