@@ -410,6 +410,90 @@ def q_pagerank_copurchase(spark, sf_dir):
 
 
 # =====================================================================
+# graph-quality metrics: degree + triangle counts (KG sanity stats)
+# =====================================================================
+
+_COSUPPLIER_EDGES_CTE = """
+    SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+"""
+
+
+@query(
+    "triangle_counts",
+    f"""
+    WITH edges AS ({_COSUPPLIER_EDGES_CTE}),
+    sym AS (
+      SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges
+    ),
+    deg AS (SELECT node, count(*) AS degree FROM sym GROUP BY node),
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.a = e1.b
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tnodes AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ),
+    tcnt AS (SELECT node, count(*) AS n_tri FROM tnodes GROUP BY node)
+    SELECT d.node,
+           CAST(d.degree AS BIGINT) AS degree,
+           CAST(coalesce(t.n_tri, 0) AS BIGINT) AS triangles
+    FROM deg d LEFT JOIN tcnt t ON t.node = d.node
+    """,
+)
+def q_triangle_counts(spark, sf_dir):
+    """Per-node degree + triangle participation over the co-supplier graph
+    (suppliers sharing an order) — the graph-quality stats a KG build
+    publishes next to its entity/edge counts (clustering structure,
+    hub detection). Edge-iterator algorithm with id-ordered orientation
+    (a<b<c): each triangle is enumerated exactly once from its lowest
+    vertex, so intermediates stay bounded by sum of deg(v)^2 over the
+    oriented (forward-degree) graph — the standard scalable formulation.
+    100 TB shape: edge construction self-joins within an order key (order
+    size is bounded), then two equi-joins on node keys; all shuffles are
+    key-partitioned, AQE handles skewed hub nodes."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("a"), F.col("b.l_suppkey").alias("b")
+        )
+        .distinct()
+    )
+    sym = edges.select(F.col("a").alias("node")).unionByName(
+        edges.select(F.col("b").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    wedges = e1.join(e2, "y")
+    tri = wedges.join(e3, ["x", "z"])
+    tnodes = (
+        tri.select(F.col("x").alias("node"))
+        .unionByName(tri.select(F.col("y").alias("node")))
+        .unionByName(tri.select(F.col("z").alias("node")))
+    )
+    tcnt = tnodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+    return deg.join(tcnt, "node", "left").select(
+        "node",
+        F.col("degree").cast("bigint").alias("degree"),
+        F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint").alias("triangles"),
+    )
+
+
+# =====================================================================
 # end-to-end corpus curation (quality -> dedup -> split)
 # =====================================================================
 

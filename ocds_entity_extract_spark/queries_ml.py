@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from ocds_entity_extract_spark.functions.text import collapse_ws, simple_name
 from ocds_entity_extract_spark.queries import (
@@ -256,6 +257,89 @@ def q_dedup_minhash_docs_fast(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return minhash_candidate_pairs(d, hash_family="fast")
+
+
+def _dedup_canonical_oracle_sql() -> str:
+    """DuckDB twin of cluster -> representative selection: the verified
+    near-dup clusters (same recursive closure as dedup_clusters) label every
+    document (singletons label as themselves), then one row per cluster
+    survives — highest n_chars, doc_id as the deterministic tie-break."""
+    return rf"""
+    WITH RECURSIVE pairs AS ({_minhash_docs_oracle_sql()}),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+    ),
+    members AS (
+      SELECT src AS member, least(src, min(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    labeled AS (
+      SELECT d.doc_id, d.n_chars,
+             coalesce(m.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN members m ON m.member = d.doc_id
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY cluster_id) AS csz
+      FROM labeled
+    )
+    SELECT cluster_id,
+           doc_id AS kept_doc_id,
+           CAST(csz AS BIGINT) AS cluster_size,
+           CAST(n_chars AS BIGINT) AS kept_n_chars
+    FROM ranked WHERE rn = 1
+    """
+
+
+@query("dedup_canonical_docs", _dedup_canonical_oracle_sql())
+def q_dedup_canonical_docs(spark, sf_dir):
+    """Canonical-document selection — the step a training-data pipeline runs
+    AFTER near-dup clustering: every document gets a cluster label
+    (verified MinHash pairs -> connected components; docs in no pair are
+    their own cluster), and exactly one representative per cluster is kept
+    (longest n_chars, min doc_id tie-break). 100 TB shape: the labeling is
+    a LEFT join on doc id (the CC mapping is tiny relative to the corpus —
+    broadcastable), and representative selection is one window shuffle
+    partitioned by cluster_id; no all-pairs stage anywhere."""
+    from ocds_entity_extract_spark.operators.cc import connected_components
+    from ocds_entity_extract_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    edges = minhash_candidate_pairs(docs.select("doc_id", "text")).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    cc = connected_components(edges)
+    labeled = docs.join(
+        F.broadcast(cc), docs["doc_id"] == cc["entity_id"], "left"
+    ).select(
+        "doc_id",
+        "n_chars",
+        F.coalesce(F.col("canonical_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    wsz = Window.partitionBy("cluster_id")
+    return (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(wsz))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            F.col("n_chars").cast("bigint").alias("kept_n_chars"),
+        )
+    )
 
 
 def _simhash_cte() -> str:

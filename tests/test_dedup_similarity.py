@@ -201,3 +201,34 @@ def test_ann_ivf_contains_bucket_topk(spark):
     assert ivf[0]["score"] <= bf[0]["score"]
     ivf_ids = {r["vec_id"] for r in ivf}
     assert 0 not in ivf_ids
+
+
+def test_canonical_docs_keep_best(spark):
+    """dedup_canonical_docs contract on a hand-built corpus: one survivor
+    per near-dup cluster, chosen by (n_chars DESC, doc_id ASC); singleton
+    docs survive as their own cluster."""
+    from ocds_entity_extract_spark.queries_ml import q_dedup_canonical_docs
+    import os
+    import tempfile
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    rows = [
+        # near-dup cluster {1, 2, 3}: doc 2 is longest -> kept
+        (1, base, "en", "s", 100),
+        (2, base + " extra", "en", "s", 106),
+        (3, base + " other", "en", "s", 106),
+        # singleton
+        (9, " ".join(f"zz{i}" for i in range(40)), "en", "s", 50),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r["cluster_id"]: (r["kept_doc_id"], r["cluster_size"])
+            for r in q_dedup_canonical_docs(spark, d).collect()
+        }
+    # doc 2 wins the (n_chars DESC, doc_id ASC) tie-break over doc 3
+    assert out[1] == (2, 3)
+    assert out[9] == (9, 1)
+    assert set(out) == {1, 9}

@@ -46,3 +46,23 @@ def test_partitioning_invariance(spark):
         for r in pagerank_fixed_point(e.repartition(7), iterations=5).collect()
     }
     assert a == b
+
+
+def test_triangle_counts_known_graph(spark):
+    """triangle_counts on a hand-built lineitem: order 1 makes K3
+    {1,2,3} (one triangle, every node in it), order 2 adds the chord-less
+    edge 3-4 (wedge only — no new triangle)."""
+    from ocds_entity_extract_spark.queries_analytics import q_triangle_counts
+    import os
+    import tempfile
+
+    rows = [(1, 1), (1, 2), (1, 3), (2, 3), (2, 4)]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "l_orderkey long, l_suppkey long"
+        ).write.parquet(os.path.join(d, "lineitem.parquet"))
+        got = {
+            r["node"]: (r["degree"], r["triangles"])
+            for r in q_triangle_counts(spark, d).collect()
+        }
+    assert got == {1: (2, 1), 2: (2, 1), 3: (3, 1), 4: (1, 0)}
