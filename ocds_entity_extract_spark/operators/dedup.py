@@ -141,6 +141,145 @@ def minhash_candidate_pairs(
     )
 
 
+def minhash_incremental_pairs(
+    docs: DataFrame,
+    is_new_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    band_size: int = 2,
+    max_bucket: int = 64,
+    jaccard_threshold: float = 0.5,
+    hash_family: str = "portable",
+) -> DataFrame:
+    """Incremental dedup: verified near-dup pairs TOUCHING a new document.
+
+    The production shape at corpus scale — a new crawl batch is deduped
+    against the existing corpus plus itself, never corpus x corpus. Emits
+    (id_a, id_b, jaccard, new_side) with id_a < id_b, where at least one
+    side has `is_new_col` true and new_side in ('a','b','both') says which.
+    Output is EXACTLY the full-dedup pair set restricted to new-touching
+    pairs (same signatures, same global bucket cap, same exact-Jaccard
+    verification) — so a batch-at-a-time run converges to the same clusters
+    the full run finds, batch by batch.
+
+    Cost shape: buckets with no new member are dropped BEFORE pair
+    explosion (a bool-or over the same window partitioning the cap uses —
+    one exchange serves cap + liveness + collect), and each surviving
+    bucket emits only its new-touching pairs, so pair volume is
+    O(|new| * bucket) instead of O(|corpus| * bucket). At a real deployment
+    the history side's signatures and bucket counts come from a stored
+    index (the signature table is the natural Iceberg side output of the
+    previous run) so only the new batch's text is shingled; here both
+    sides recompute from text because the sandbox oracle needs the whole
+    path deterministic from the input table.
+    """
+    from pyspark.sql.window import Window
+
+    from ocds_entity_extract_spark.functions.phash import (
+        fast_hash64,
+        portable_hash64,
+    )
+    from ocds_entity_extract_spark.operators.linking import (
+        minhash_signature_from_hashes,
+    )
+
+    hash_fn = fast_hash64 if hash_family == "fast" else portable_hash64
+
+    src = docs.select(id_col, text_col, F.col(is_new_col).alias("_new"))
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+
+    # one corpus pass for hashed shingles (reused by verification below)
+    sh = (
+        with_word_shingles(src, text_col)
+        .select(
+            id_col,
+            "_new",
+            F.transform("shingles", lambda s: hash_fn(s)).alias("hs"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sig = minhash_signature_from_hashes(
+        sh.select(id_col, "hs"), id_col, "hs", num_hashes, band_size
+    )
+    buckets = (
+        sig.join(sh.select(id_col, "_new"), id_col)
+        .select(id_col, "_new", F.explode("bands").alias("b"))
+        .select(
+            id_col,
+            "_new",
+            F.col("b.band_id").alias("band_id"),
+            F.col("b.band_hash").alias("band_hash"),
+        )
+    )
+    w = Window.partitionBy("band_id", "band_hash")
+    grouped = (
+        buckets.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .withColumn("_any_new", F.max(F.col("_new").cast("int")).over(w))
+        .filter((F.col("_bsz") <= max_bucket) & (F.col("_any_new") == 1))
+        .groupBy("band_id", "band_hash")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("i"), "_new"))
+            ).alias("_ids")
+        )
+        .filter(F.size("_ids") >= 2)
+    )
+    pairs = (
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_ids, (x, i) ->"
+                    " transform(slice(_ids, i + 2, size(_ids) - i - 1),"
+                    " y -> named_struct('id_a', x.i, 'na', x._new,"
+                    "                   'id_b', y.i, 'nb', y._new))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.na", "p.id_b", "p.nb")
+        .filter(F.col("na") | F.col("nb"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pe = pairs.select(
+        "id_a",
+        "id_b",
+        "na",
+        "nb",
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias(id_col), F.lit("a").alias("side")),
+                F.struct(F.col("id_b").alias(id_col), F.lit("b").alias("side")),
+            )
+        ).alias("m"),
+    ).select("id_a", "id_b", "na", "nb", F.col(f"m.{id_col}").alias(id_col), "m.side")
+    joined = (
+        sh.select(id_col, "hs")
+        .join(F.broadcast(pe), id_col)
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first(F.when(F.col("side") == "a", F.col("hs")), True).alias("sh_a"),
+            F.first(F.when(F.col("side") == "b", F.col("hs")), True).alias("sh_b"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    new_side = (
+        F.when(F.col("na") & F.col("nb"), F.lit("both"))
+        .when(F.col("na"), F.lit("a"))
+        .otherwise(F.lit("b"))
+    )
+    return (
+        joined.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard", new_side.alias("new_side"))
+    )
+
+
 def _simhash64_py(t: str | None) -> int | None:
     """Row-at-a-time reference implementation (parity oracle for the
     vectorized UDF below; NOT used in any hot path)."""

@@ -259,6 +259,48 @@ def q_dedup_minhash_docs_fast(spark, sf_dir):
     return minhash_candidate_pairs(d, hash_family="fast")
 
 
+@query(
+    "dedup_incremental",
+    f"""
+    WITH pairs AS ({_minhash_docs_oracle_sql()}),
+    flags AS (
+      SELECT doc_id,
+             (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+              % 100) >= 80 AS is_new
+      FROM documents
+    )
+    SELECT p.id_a, p.id_b, p.jaccard,
+           CASE WHEN fa.is_new AND fb.is_new THEN 'both'
+                WHEN fa.is_new THEN 'a' ELSE 'b' END AS new_side
+    FROM pairs p
+    JOIN flags fa ON fa.doc_id = p.id_a
+    JOIN flags fb ON fb.doc_id = p.id_b
+    WHERE fa.is_new OR fb.is_new
+    """,
+)
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental (batch-vs-corpus) dedup — the production pattern at
+    corpus scale: the 'new crawl batch' (the dataset_split hash convention's
+    top 20% of doc ids — deterministic, no rand()) is deduped against
+    history + itself; corpus x corpus never runs. Pair output equals the
+    full-dedup pair set restricted to new-touching pairs (the oracle states
+    exactly that restriction over the full-path SQL twin), while the Spark
+    plan drops no-new-member buckets before pair explosion — see
+    operators/dedup.minhash_incremental_pairs for the cost model."""
+    from ocds_entity_extract_spark.operators.dedup import (
+        minhash_incremental_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    docs = d.select("doc_id", "text", (bucket >= 80).alias("is_new"))
+    return minhash_incremental_pairs(docs, "is_new")
+
+
 def _dedup_canonical_oracle_sql() -> str:
     """DuckDB twin of cluster -> representative selection: the verified
     near-dup clusters (same recursive closure as dedup_clusters) label every

@@ -232,3 +232,38 @@ def test_canonical_docs_keep_best(spark):
     assert out[1] == (2, 3)
     assert out[9] == (9, 1)
     assert set(out) == {1, 9}
+
+
+def test_incremental_equals_restricted_full(spark):
+    """minhash_incremental_pairs == minhash_candidate_pairs restricted to
+    new-touching pairs (same signatures, same global bucket cap): the
+    bucket-liveness pruning and new-side pair filter are cost-only."""
+    from pyspark.sql import functions as F
+
+    from ocds_entity_extract_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_incremental_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text", (F.col("doc_id") % 5 == 0).alias("is_new")
+    )
+    inc = {
+        (r["id_a"], r["id_b"], r["jaccard"], r["new_side"])
+        for r in minhash_incremental_pairs(docs, "is_new").collect()
+    }
+    flags = {r["doc_id"]: r["is_new"] for r in docs.select("doc_id", "is_new").collect()}
+    full = {
+        (
+            r["id_a"],
+            r["id_b"],
+            r["jaccard"],
+            "both"
+            if flags[r["id_a"]] and flags[r["id_b"]]
+            else ("a" if flags[r["id_a"]] else "b"),
+        )
+        for r in minhash_candidate_pairs(docs.select("doc_id", "text")).collect()
+        if flags[r["id_a"]] or flags[r["id_b"]]
+    }
+    assert inc == full
+    assert len(inc) > 0
