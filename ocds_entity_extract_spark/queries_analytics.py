@@ -688,6 +688,51 @@ def q_streaming_hourly_counts(spark, sf_dir):
     )
 
 
+@query(
+    "streaming_dedup_exact",
+    """
+    SELECT DISTINCT lang, md5(text) AS content_md5 FROM documents
+    """,
+)
+def q_streaming_dedup_exact(spark, sf_dir):
+    """Exact content dedup ON THE STREAM — the on-arrival dedup an ingest
+    pipeline runs before anything else touches a new batch: streaming
+    dropDuplicates over (lang, content fingerprint), drained with
+    trigger(availableNow) and value-hash-compared against the batch
+    DISTINCT oracle. Append mode + a single stateful operator; the dedup
+    state is keyed by the 16-byte fingerprint, not the document, so state
+    is O(distinct contents), and on an unbounded deployment a watermark on
+    the arrival time bounds it further (bounded drain here, so none is
+    needed — nothing is ever late)."""
+    import hashlib
+    import pathlib
+
+    src = pathlib.Path(sf_dir) / "documents.parquet"
+    key = hashlib.md5(str(src).encode()).hexdigest()[:10]
+    d = pathlib.Path(f"/tmp/sg_stream_{key}/documents")
+    d.mkdir(parents=True, exist_ok=True)
+    link = d / "documents.parquet"
+    if not link.is_symlink():
+        link.symlink_to(src)
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(str(d))
+    deduped = stream.select(
+        "lang", F.md5(F.col("text").cast("binary")).alias("content_md5")
+    ).dropDuplicates(["lang", "content_md5"])
+    sink = f"q_stream_dedup_{key}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink)
+
+
 # =====================================================================
 # sliding-window aggregation (moving average)
 # =====================================================================
