@@ -36,3 +36,24 @@ def test_option_surface_parity():
          "--classifiers", "x.csv"]
     )
     assert long.output == "stream" and long.classifiers == ["x.csv"]
+
+
+def test_pyfiles_artifact_complete(tmp_path):
+    """The --py-files zip must carry every package module (an executor
+    resolves all UDF code from it) and no tests/caches."""
+    import pathlib
+    import zipfile
+
+    from tools.make_pyfiles import PKG, build
+
+    out = build(tmp_path)
+    with zipfile.ZipFile(out) as z:
+        names = set(z.namelist())
+    on_disk = {
+        str(p.relative_to(PKG.parent))
+        for p in pathlib.Path(PKG).rglob("*.py")
+        if "__pycache__" not in p.parts
+    }
+    assert on_disk <= names
+    assert not [n for n in names if "test" in n or "__pycache__" in n]
+    assert "ocds_entity_extract_spark/plans/pipeline.py" in names
