@@ -50,31 +50,31 @@ HEADLINE = [
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "60000"))
 
-# round-2 medians-equivalent (BENCH_r02 best-of-2) for regression callouts
-_R02 = {
-    "pricing_summary": 2.794, "orders_lineitem_join": 1.502,
-    "dim_broadcast_join": 0.836, "exists_semi_join": 0.758,
-    "first_order_window": 0.93, "salted_group_agg": 0.505,
-    "supplier_date_range": 0.315, "dedup_exact": 0.266,
-    "dedup_minhash_docs": 5.503, "simhash_docs": 0.275,
-    "ann_topk_bruteforce": 0.925, "ann_topk_lsh": 1.335,
-    "ann_topk_ivf": 1.808, "token_stats_total": 0.255,
-    "doc_fingerprints": 0.233, "multimodal_decode_stub": 2.884,
-    "dedup_clusters": 6.523, "kg_merged_entities": 4.222,
-    "kg_pipeline_triples": 9.164, "events_sessionize": 0.884,
-    "asof_join_events": 0.483, "corpus_curation": 0.843,
-    "kg_pipeline": 12.955,
+# round-3 medians (BENCH_r03, median of 3) for regression callouts
+_R03 = {
+    "pricing_summary": 0.581, "orders_lineitem_join": 0.874,
+    "dim_broadcast_join": 0.59, "exists_semi_join": 0.522,
+    "first_order_window": 0.492, "salted_group_agg": 0.271,
+    "supplier_date_range": 0.244, "dedup_exact": 0.198,
+    "dedup_minhash_docs": 3.079, "simhash_docs": 0.186,
+    "ann_topk_bruteforce": 0.455, "ann_topk_lsh": 0.893,
+    "ann_topk_ivf": 1.835, "token_stats_total": 0.161,
+    "doc_fingerprints": 0.164, "multimodal_decode_stub": 0.628,
+    "dedup_clusters": 6.597, "kg_merged_entities": 4.958,
+    "kg_pipeline_triples": 2.477, "kg_pipeline_products": 1.393,
+    "events_sessionize": 0.554, "asof_join_events": 0.342,
+    "corpus_curation": 0.541, "kg_pipeline": 3.3,
 }
 
 
 def _regressions(timings: dict[str, float], factor: float = 1.3) -> dict:
-    """Queries whose median moved > `factor`x vs the round-2 record —
+    """Queries whose median moved > `factor`x vs the round-3 record —
     called out in the JSON so a regression can't hide in the total."""
     out = {}
     for k, v in timings.items():
-        base = _R02.get(k)
+        base = _R03.get(k)
         if base and v > base * factor:
-            out[k] = {"r02": base, "now": v, "ratio": round(v / base, 2)}
+            out[k] = {"r03": base, "now": v, "ratio": round(v / base, 2)}
     return out
 
 
@@ -218,7 +218,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_min": timings_min,
                 "reps": reps,
-                "regressions_vs_r02": _regressions(timings),
+                "regressions_vs_r03": _regressions(timings),
                 "sf": sf,
                 "kg_pages": KG_PAGES,
                 "kg_triples": n_triples,
