@@ -267,3 +267,52 @@ def test_incremental_equals_restricted_full(spark):
     }
     assert inc == full
     assert len(inc) > 0
+
+
+def test_incremental_boundary_batches(spark):
+    """Boundary batches: no new docs -> empty output; all docs new ->
+    exactly the full pair set with new_side='both' everywhere."""
+    from pyspark.sql import functions as F
+
+    from ocds_entity_extract_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_incremental_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    none_new = docs.withColumn("is_new", F.lit(False))
+    assert minhash_incremental_pairs(none_new, "is_new").count() == 0
+
+    all_new = docs.withColumn("is_new", F.lit(True))
+    inc = {
+        (r["id_a"], r["id_b"], r["jaccard"], r["new_side"])
+        for r in minhash_incremental_pairs(all_new, "is_new").collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"], r["jaccard"], "both")
+        for r in minhash_candidate_pairs(docs).collect()
+    }
+    assert inc == full and len(inc) > 0
+
+
+def test_canonical_docs_no_pairs_corpus(spark):
+    """A corpus with NO near-dups: every doc survives as its own cluster
+    of size 1 (the left-join + coalesce singleton path)."""
+    import os
+    import tempfile
+
+    from ocds_entity_extract_spark.queries_ml import q_dedup_canonical_docs
+
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(30)), "en", "s", 30 + i)
+        for i in range(6)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out = q_dedup_canonical_docs(spark, d).collect()
+    assert sorted((r["cluster_id"], r["kept_doc_id"], r["cluster_size"]) for r in out) \
+        == [(i, i, 1) for i in range(6)]
