@@ -66,3 +66,47 @@ def test_triangle_counts_known_graph(spark):
             for r in q_triangle_counts(spark, d).collect()
         }
     assert got == {1: (2, 1), 2: (2, 1), 3: (3, 1), 4: (1, 0)}
+
+
+def test_triangle_counts_random_graphs_vs_bruteforce(spark):
+    """Seeded random co-occurrence tables vs a brute-force triangle count
+    (itertools over the projected edge set) — degree and per-node triangle
+    participation must match exactly."""
+    import itertools
+    import os
+    import random
+    import tempfile
+
+    from ocds_entity_extract_spark.queries_analytics import q_triangle_counts
+
+    for seed in (7, 21):
+        rng = random.Random(seed)
+        rows = [
+            (o, rng.randrange(12))
+            for o in range(25)
+            for _ in range(rng.randrange(1, 6))
+        ]
+        edges = set()
+        by_order = {}
+        for o, s in rows:
+            by_order.setdefault(o, set()).add(s)
+        for members in by_order.values():
+            for a, b in itertools.combinations(sorted(members), 2):
+                edges.add((a, b))
+        nodes = {n for e in edges for n in e}
+        deg = {n: sum(n in e for e in edges) for n in nodes}
+        tri = {n: 0 for n in nodes}
+        for a, b, c in itertools.combinations(sorted(nodes), 3):
+            if (a, b) in edges and (b, c) in edges and (a, c) in edges:
+                tri[a] += 1
+                tri[b] += 1
+                tri[c] += 1
+        with tempfile.TemporaryDirectory() as d:
+            spark.createDataFrame(
+                rows, "l_orderkey long, l_suppkey long"
+            ).write.parquet(os.path.join(d, "lineitem.parquet"))
+            got = {
+                r["node"]: (r["degree"], r["triangles"])
+                for r in q_triangle_counts(spark, d).collect()
+            }
+        assert got == {n: (deg[n], tri[n]) for n in nodes}, f"seed {seed}"
