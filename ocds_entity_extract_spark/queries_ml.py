@@ -260,6 +260,49 @@ def q_dedup_minhash_docs_fast(spark, sf_dir):
 
 
 @query(
+    "top_ngrams",
+    r"""
+    WITH toks AS (
+      SELECT string_split_regex(text, '\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT unnest([array_to_string(t[i:i+1], ' ')
+                     for i in range(1, len(t))]) AS ngram
+      FROM toks WHERE len(t) >= 2
+    )
+    SELECT ngram, CAST(count(*) AS BIGINT) AS n
+    FROM grams GROUP BY ngram
+    ORDER BY n DESC, ngram ASC LIMIT 50
+    """,
+)
+def q_top_ngrams(spark, sf_dir):
+    """Corpus-wide top-50 word bigrams — the vocab/frequency stats a
+    tokenizer-induction or contamination-analysis pass publishes. ONE
+    shuffle (groupBy ngram, map-side combine carries most of the mass);
+    the top-k is TakeOrdered on (count DESC, ngram ASC) — a deterministic
+    driver-side k-heap, never a full sort of the vocab."""
+    d = _t(spark, sf_dir, "documents")
+    grams = (
+        d.withColumn("_toks", F.split("text", r"\s+"))
+        .filter(F.size("_toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_toks) - 1),"
+                    " i -> concat_ws(' ', slice(_toks, i, 2)))"
+                )
+            ).alias("ngram")
+        )
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("ngram").asc())
+        .limit(50)
+    )
+
+
+@query(
     "dedup_incremental",
     f"""
     WITH pairs AS ({_minhash_docs_oracle_sql()}),
@@ -2781,6 +2824,60 @@ def _embed_neardup_lsh_oracle_sql(
     WHERE round(list_cosine_similarity(a.embedding, x.embedding), 3)
           >= {threshold}
     """
+
+
+def _bucket_centroids_oracle_sql(
+    dim: int = 64, n_planes: int = 4, seed: int = 7
+) -> str:
+    """DuckDB twin of per-LSH-bucket embedding centroids: same seeded
+    hyperplane sign bucket, then positional mean per bucket."""
+    from ocds_entity_extract_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    cases = "\n           + ".join(
+        f"CASE WHEN list_dot_product(embedding, {[round(x, 17) for x in p]}) > 0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH b AS (
+      SELECT embedding, ({cases}) AS bucket FROM embeddings
+    ),
+    px AS (
+      SELECT bucket,
+             unnest([{{'p': i - 1, 'v': embedding[i]}}
+                     for i in range(1, len(embedding) + 1)],
+                    recursive := true)
+      FROM b
+    )
+    SELECT bucket, p AS pos,
+           round(avg(v), 4) + 0.0 AS c,  -- +0.0 folds IEEE -0.0 to 0.0
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM px GROUP BY bucket, p
+    """
+
+
+@query("embedding_bucket_centroids", _bucket_centroids_oracle_sql())
+def q_embedding_bucket_centroids(spark, sf_dir):
+    """Per-LSH-bucket embedding centroids — the coarse-quantizer training
+    step an IVF index build runs over the corpus (and the aggregation shape
+    of any 'mean vector per cluster' stage). posexplode -> (bucket, pos)
+    hash-agg: ONE shuffle with map-side combine, never a collect_list of
+    vectors per bucket — state per reducer key is a running (sum, count),
+    so a billion-vector bucket costs the same per-key memory as a ten-vector
+    one. Output stays positional (bucket, pos, mean) so no array
+    re-assembly rides the plan."""
+    from ocds_entity_extract_spark.operators.similarity import with_lsh_bucket
+
+    e = _t(spark, sf_dir, "embeddings")
+    b = with_lsh_bucket(e, "embedding", dim=EMBEDDING_DIM, n_planes=4)
+    pos = b.select("bucket", F.posexplode("embedding").alias("pos", "v"))
+    return pos.groupBy("bucket", "pos").agg(
+        # +0.0 folds IEEE -0.0 to 0.0 (engines disagree on the sign of a
+        # rounded-to-zero negative mean; the value hash compares strings)
+        (F.round(F.avg("v"), 4) + F.lit(0.0)).alias("c"),
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+    )
 
 
 @query("dedup_near_embedding_lsh", _embed_neardup_lsh_oracle_sql(dim=EMBEDDING_DIM))
