@@ -150,6 +150,7 @@ def minhash_incremental_pairs(
     band_size: int = 2,
     max_bucket: int = 64,
     jaccard_threshold: float = 0.5,
+    broadcast_pairs: bool = True,
     hash_family: str = "portable",
 ) -> DataFrame:
     """Incremental dedup: verified near-dup pairs TOUCHING a new document.
@@ -256,7 +257,10 @@ def minhash_incremental_pairs(
     ).select("id_a", "id_b", "na", "nb", F.col(f"m.{id_col}").alias(id_col), "m.side")
     joined = (
         sh.select(id_col, "hs")
-        .join(F.broadcast(pe), id_col)
+        # pairs are bounded by new-touching candidates; pass
+        # broadcast_pairs=False when even that exceeds the broadcast budget
+        # (pathological batch duplication) and AQE plans the probe join
+        .join(F.broadcast(pe) if broadcast_pairs else pe, id_col)
         .groupBy("id_a", "id_b")
         .agg(
             F.first(F.when(F.col("side") == "a", F.col("hs")), True).alias("sh_a"),

@@ -392,9 +392,11 @@ def q_dedup_canonical_docs(spark, sf_dir):
     (verified MinHash pairs -> connected components; docs in no pair are
     their own cluster), and exactly one representative per cluster is kept
     (longest n_chars, min doc_id tie-break). 100 TB shape: the labeling is
-    a LEFT join on doc id (the CC mapping is tiny relative to the corpus —
-    broadcastable), and representative selection is one window shuffle
-    partitioned by cluster_id; no all-pairs stage anywhere."""
+    a LEFT equi-join on doc id — NOT a forced broadcast: on a dup-heavy web
+    corpus the CC mapping is O(docs that appear in any pair), easily
+    billions of rows, so AQE picks broadcast only when the mapping actually
+    fits. Representative selection is one window shuffle partitioned by
+    cluster_id; no all-pairs stage anywhere."""
     from ocds_entity_extract_spark.operators.cc import connected_components
     from ocds_entity_extract_spark.operators.dedup import minhash_candidate_pairs
 
@@ -404,7 +406,7 @@ def q_dedup_canonical_docs(spark, sf_dir):
     )
     cc = connected_components(edges)
     labeled = docs.join(
-        F.broadcast(cc), docs["doc_id"] == cc["entity_id"], "left"
+        cc, docs["doc_id"] == cc["entity_id"], "left"
     ).select(
         "doc_id",
         "n_chars",
