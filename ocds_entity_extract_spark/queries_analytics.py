@@ -964,3 +964,115 @@ def q_decontamination(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.count_distinct("s").cast("bigint").alias("n_overlap"))
     )
+
+
+# =====================================================================
+# URL canonicalization dedup (crawl-frontier collapse)
+# =====================================================================
+
+# Messy-URL synthesis, written once in engine-neutral SQL (|| concat,
+# floor-division via floor(x/100.0), CASE) so the Spark side (F.expr) and
+# the DuckDB oracle run the IDENTICAL construction: six deterministic
+# crawl-variant families of the same logical page (case-shifted
+# scheme/host, www. prefix, :443 default port, trailing slash, utm_*
+# tracking params, #fragment).
+_URL_MESSY_SQL = """
+    CASE CAST(floor(doc_id / 100.0) AS BIGINT) % 6
+      WHEN 0 THEN 'https://site' || CAST((doc_id % 100) % 7 AS STRING)
+        || '.example/a/' || CAST(doc_id % 100 AS STRING)
+        || '?page=' || CAST((doc_id % 100) % 4 AS STRING)
+      WHEN 1 THEN 'HTTPS://WWW.Site' || CAST((doc_id % 100) % 7 AS STRING)
+        || '.EXAMPLE/a/' || CAST(doc_id % 100 AS STRING)
+        || '?page=' || CAST((doc_id % 100) % 4 AS STRING)
+      WHEN 2 THEN 'https://site' || CAST((doc_id % 100) % 7 AS STRING)
+        || '.example:443/a/' || CAST(doc_id % 100 AS STRING)
+        || '/?page=' || CAST((doc_id % 100) % 4 AS STRING)
+      WHEN 3 THEN 'https://site' || CAST((doc_id % 100) % 7 AS STRING)
+        || '.example/a/' || CAST(doc_id % 100 AS STRING)
+        || '?utm_source=feed&page=' || CAST((doc_id % 100) % 4 AS STRING)
+      WHEN 4 THEN 'https://site' || CAST((doc_id % 100) % 7 AS STRING)
+        || '.example/a/' || CAST(doc_id % 100 AS STRING)
+        || '?page=' || CAST((doc_id % 100) % 4 AS STRING)
+        || '&utm_campaign=x#frag'
+      ELSE 'https://www.site' || CAST((doc_id % 100) % 7 AS STRING)
+        || '.example/a/' || CAST(doc_id % 100 AS STRING)
+        || '/?page=' || CAST((doc_id % 100) % 4 AS STRING) || '#top'
+    END
+"""
+
+_URL_PREF_RE = "^[^:]+://[^/?#]+"
+
+
+@query(
+    "url_dedup_canonical",
+    f"""
+    WITH docs_url AS (
+      SELECT doc_id, {_URL_MESSY_SQL} AS messy_url FROM documents
+    ),
+    parts AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(
+               lower(regexp_extract(messy_url, '{_URL_PREF_RE}')),
+               '^https://www\\.', 'https://'), ':443$', '') AS pref,
+             substring(messy_url,
+               length(regexp_extract(messy_url, '{_URL_PREF_RE}')) + 1)
+               AS rest
+      FROM docs_url
+    ),
+    canon AS (
+      SELECT doc_id,
+             pref || regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(regexp_replace(
+                         rest, '#.*$', ''),
+                       'utm_[a-z]+=[^&#]*&?', '', 'g'),
+                     '[?&]+$', ''),
+                   '/\\?', '?'),
+                 '/$', '') AS canonical_url
+      FROM parts
+    )
+    SELECT canonical_url,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc,
+           count(*) AS n_variants
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def q_url_dedup_canonical(spark, sf_dir):
+    """Crawl-URL canonicalization dedup: normalize scheme/host case, strip
+    `www.`, the https default port, tracking (`utm_*`) query params,
+    fragments and trailing slashes, then collapse crawl variants of the
+    same logical page to one survivor (min doc_id) with a variant count.
+    This is the frontier-dedup step a Common-Crawl-style pipeline runs
+    BEFORE content dedup (reference processes one URL-keyed doc store;
+    extract.js keys everything by url). Plan: every normalization is a
+    built-in regexp (whole-stage codegen, no UDF), then ONE hash-agg
+    shuffle on the canonical key with partial aggregation map-side —
+    at 100 TB this is a single exchange on a high-cardinality key, the
+    same shape as dedup_exact."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_URL_MESSY_SQL).alias("messy_url")
+    )
+    pref = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract("messy_url", _URL_PREF_RE, 0)),
+            r"^https://www\.", "https://"),
+        ":443$", "")
+    rest = F.expr(
+        f"substring(messy_url, length(regexp_extract(messy_url, "
+        f"'{_URL_PREF_RE}', 0)) + 1)"
+    )
+    for pat, repl in (
+        ("#.*$", ""),
+        ("utm_[a-z]+=[^&#]*&?", ""),
+        ("[?&]+$", ""),
+        (r"/\?", "?"),
+        ("/$", ""),
+    ):
+        rest = F.regexp_replace(rest, pat, repl)
+    return (
+        d.select("doc_id", F.concat(pref, rest).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keep_doc"),
+            F.count("*").alias("n_variants"),
+        )
+    )
