@@ -29,6 +29,7 @@ HEADLINE = [
     "salted_group_agg",
     "supplier_date_range",
     "dedup_exact",
+    "url_dedup_canonical",
     "dedup_minhash_docs",
     "dedup_minhash_docs_fast",
     "simhash_docs",
