@@ -51,31 +51,38 @@ HEADLINE = [
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "60000"))
 
-# round-3 medians (BENCH_r03, median of 3) for regression callouts
-_R03 = {
-    "pricing_summary": 0.581, "orders_lineitem_join": 0.874,
-    "dim_broadcast_join": 0.59, "exists_semi_join": 0.522,
-    "first_order_window": 0.492, "salted_group_agg": 0.271,
-    "supplier_date_range": 0.244, "dedup_exact": 0.198,
-    "dedup_minhash_docs": 3.079, "simhash_docs": 0.186,
-    "ann_topk_bruteforce": 0.455, "ann_topk_lsh": 0.893,
-    "ann_topk_ivf": 1.835, "token_stats_total": 0.161,
-    "doc_fingerprints": 0.164, "multimodal_decode_stub": 0.628,
-    "dedup_clusters": 6.597, "kg_merged_entities": 4.958,
-    "kg_pipeline_triples": 2.477, "kg_pipeline_products": 1.393,
-    "events_sessionize": 0.554, "asof_join_events": 0.342,
-    "corpus_curation": 0.541, "kg_pipeline": 3.3,
+# best recorded per-query median across rounds 3 AND 4 (BENCH_r03/r04) —
+# regression checks compare against the best-known, not just last round,
+# so a slide can never hide behind an older, slower baseline
+_BEST = {
+    "pricing_summary": 0.475, "orders_lineitem_join": 0.704,
+    "dim_broadcast_join": 0.454, "exists_semi_join": 0.4,
+    "first_order_window": 0.391, "salted_group_agg": 0.222,
+    "supplier_date_range": 0.213, "dedup_exact": 0.185,
+    "dedup_minhash_docs": 2.513, "dedup_minhash_docs_fast": 1.851,
+    "simhash_docs": 0.129,
+    "ann_topk_bruteforce": 0.39, "ann_topk_lsh": 0.759,
+    "ann_topk_ivf": 1.051, "token_stats_total": 0.126,
+    "doc_fingerprints": 0.112, "multimodal_decode_stub": 0.303,
+    "dedup_clusters": 4.14, "kg_merged_entities": 1.559,
+    "kg_merged_entities_salted": 1.511,
+    "kg_pipeline_triples": 1.827, "kg_pipeline_products": 1.203,
+    "events_sessionize": 0.551, "asof_join_events": 0.305,
+    "corpus_curation": 0.541, "kg_pipeline": 3.296,
+    "url_dedup_canonical": 0.403,
 }
 
 
-def _regressions(timings: dict[str, float], factor: float = 1.3) -> dict:
-    """Queries whose median moved > `factor`x vs the round-3 record —
-    called out in the JSON so a regression can't hide in the total."""
+def _regressions(timings: dict[str, float], factor: float = 1.2) -> dict:
+    """Queries whose median moved > `factor`x vs the best recorded round —
+    called out in the JSON so a regression can't hide in the total.
+    factor tightened 1.3 -> 1.2 in round 5 after a 1.28x corpus_curation
+    slide reported as {} in round 4."""
     out = {}
     for k, v in timings.items():
-        base = _R03.get(k)
+        base = _BEST.get(k)
         if base and v > base * factor:
-            out[k] = {"r03": base, "now": v, "ratio": round(v / base, 2)}
+            out[k] = {"best": base, "now": v, "ratio": round(v / base, 2)}
     return out
 
 
@@ -153,14 +160,15 @@ def main() -> None:
     lsh_r, lsh2_r, ivf_r = [], [], []
     for qid in (0, 17, 33):
         bf = {r["vec_id"] for r in ann_topk_bruteforce(emb, qid, 10).collect()}
-        # DEFAULT path (probe radius 2 / n_probe 8 since round 3) is the
-        # headline recall; radius 1 kept as the candidate-fraction
-        # diagnostic
+        # DEFAULT path (cost-safe since round 5: radius scales with
+        # n_planes — radius 1 at the bench's n_planes=4, ~31% candidate
+        # fraction) is the headline recall; radius 2 kept as the
+        # recall-vs-fraction diagnostic (~69% of the corpus at 4 planes)
         lsh = {r["vec_id"] for r in ann_topk_lsh(emb, qid, 10, n_planes=4, dim=64).collect()}
         lsh2 = {
             r["vec_id"]
             for r in ann_topk_lsh(
-                emb, qid, 10, n_planes=4, dim=64, probe_hamming=1
+                emb, qid, 10, n_planes=4, dim=64, probe_hamming=2
             ).collect()
         }
         ivf = {r["vec_id"] for r in ann_topk_ivf(emb, qid, 10).collect()}
@@ -172,9 +180,9 @@ def main() -> None:
     ann_recall2 = sum(lsh2_r) / len(lsh2_r)
     ivf_recall = sum(ivf_r) / len(ivf_r)
     print(
-        f"# ann recall@10 vs brute force (3 queries): lsh(default h<=2)="
-        f"{ann_recall:.2f} lsh(h<=1)={ann_recall2:.2f} ivf(default n_probe=12)="
-        f"{ivf_recall:.2f}",
+        f"# ann recall@10 vs brute force (3 queries): lsh(default h<=1 @ "
+        f"4 planes)={ann_recall:.2f} lsh(h<=2)={ann_recall2:.2f} "
+        f"ivf(default n_probe=12)={ivf_recall:.2f}",
         file=sys.stderr,
     )
 
@@ -219,14 +227,14 @@ def main() -> None:
                 "queries": timings,
                 "queries_min": timings_min,
                 "reps": reps,
-                "regressions_vs_r03": _regressions(timings),
+                "regressions_vs_best": _regressions(timings),
                 "sf": sf,
                 "kg_pages": KG_PAGES,
                 "kg_triples": n_triples,
                 "triples_per_sec": round(tps, 1),
                 "pages_per_sec": round(pps, 1),
                 "ann_recall_at_10": round(ann_recall, 3),
-                "ann_recall_at_10_probe1": round(ann_recall2, 3),
+                "ann_recall_at_10_probe2": round(ann_recall2, 3),
                 "ann_ivf_recall_at_10": round(ivf_recall, 3),
                 "merge_hot_key_fraction": hot_key_fraction,
                 "cpus": cpus,

@@ -97,6 +97,28 @@ def main() -> None:
             "spark.sql.files.maxPartitionBytes": str(split),
             "spark.sql.files.openCostInBytes": str(128 * 1024),
             "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(advisory),
+            # lz4, deliberately: zstd was A/B'd at the 4M-page distributed
+            # plan (round 5) on the theory that smaller shuffles help the
+            # bus-bound phases — it LOST on both axes (local[2] 273.6s vs
+            # 216.6s, local[8] 107.8s vs 80.7s): this job is CPU/memory-
+            # bound and zstd's extra compression CPU lands exactly on the
+            # bottleneck. On a real cluster with network shuffles the
+            # trade can flip — hence the env hook, not a hardcode.
+            "spark.io.compression.codec": os.environ.get(
+                "SPARK_GRAFT_CODEC", "lz4"
+            ),
+            # per-stage evidence hook (shuffle bytes, executor CPU vs
+            # wall): SPARK_GRAFT_EVENTLOG=<dir> writes the Spark event log
+            # for offline attribution of the sub-scaling phases; off for
+            # pooled evidence runs (logging IO must not ride the window)
+            **(
+                {
+                    "spark.eventLog.enabled": "true",
+                    "spark.eventLog.dir": os.environ["SPARK_GRAFT_EVENTLOG"],
+                }
+                if os.environ.get("SPARK_GRAFT_EVENTLOG")
+                else {}
+            ),
         },
     )
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
@@ -136,13 +158,18 @@ def main() -> None:
     #               window: mention-distinct exchange, merge groupBy, LSH
     #               self-join, star CC.
     mode = os.environ.get("SPARK_GRAFT_MODE", "driver")
-    kw = {}
+    # the measured window runs the PRODUCTION per-shingle hash family
+    # (xxhash64, ~5x cheaper than the md5-derived oracle family; the
+    # oracled queries keep "portable" for DuckDB twin-ability — round-4
+    # verdict item #1). Both modes use the same family, so the
+    # identical-triples parity gate between them is unaffected.
+    kw = {"linking_hash_family": os.environ.get("SPARK_GRAFT_HASH", "fast")}
     if mode == "distributed":
-        kw = {
-            "max_driver_linking": 0,
-            "surface_broadcast": "aqe",
-            "cc_small_graph_threshold": 0,
-        }
+        kw.update(
+            max_driver_linking=0,
+            surface_broadcast="aqe",
+            cc_small_graph_threshold=0,
+        )
 
     t0 = time.time()
     res = build_triples(spark, pages, **kw)

@@ -176,9 +176,11 @@ class _Universe:
 # the index. This is an MDS [4,3,2] code over GF(59): any two distinct
 # tokens differ in >= 2 syllable positions (>= 4 characters spread across
 # two regions), which keeps cross-entity shingle containment far below the
-# linker's 0.80 verify threshold, while every alias KEEPS the token (and a
-# shared >= 10-char slug prefix, so the prefix block always catches the
-# pair) — within-group containment stays >= 0.9. Tokens are unique across
+# linker's 0.80 verify threshold, while every alias KEEPS the token and a
+# long shared slug prefix (guaranteed prefix-block capture only when the
+# alias slug reaches DEFAULT_PREFIX_LEN=14 chars — 4-char first names fall
+# 1 short and rely on LSH, see _prefix_pairs; measured recall .989) —
+# within-group containment stays >= 0.9. Tokens are unique across
 # all entity kinds (one global counter), so exact-slug collisions are
 # impossible by construction; a residual exact-slug check still guards the
 # coined-vs-handcrafted boundary.
@@ -274,8 +276,11 @@ def _mk_entities(rng: random.Random, n_person: int, n_company: int,
         # "first-tok-last" contain ~0.9 of a handcrafted middle-drop alias
         # "first-last" and cross-merge (measured); two fresh tokens keep
         # every cross-group containment at the shared-first-name floor.
-        # The second-surname-drop alias shares a >= 10-char slug prefix
-        # with the canonical, so the prefix block always catches the pair.
+        # The second-surname-drop alias shares a first+token slug prefix
+        # with the canonical (len(first)+9 chars): >= DEFAULT_PREFIX_LEN=14
+        # for 5+-char first names (guaranteed prefix-block capture); 4-char
+        # names (Juan, José, Raúl) give 13 and rely on the probabilistic
+        # LSH bands instead — measured pair recall .989 vs the .95 gate.
         first, tok1, tok2 = rng.choice(FIRST), _next_token(), _next_token()
         e = _add_coined(f"{first} {tok1} {tok2}", "person")
         if e:

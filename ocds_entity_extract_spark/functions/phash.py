@@ -60,6 +60,78 @@ def portable_hash64_sql(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxh64_py(data: bytes, seed: int = 42) -> int:
+    """Pure-Python XXH64 (Yann Collet's public spec), SIGNED 64-bit result.
+
+    Exact twin of Spark's ``F.xxhash64(string_col)`` for a single string
+    column: Spark hashes the UTF-8 bytes with XXH64 and the session's
+    default seed 42, returning a signed long. This gives the driver-side
+    linking twin (`linking.verified_edges_py`) bit-identical signatures to
+    the distributed `hash_family="fast"` plan — parity is pytest-gated
+    against Spark in tests/test_phash_xxh64.py over random unicode strings.
+    """
+    length = len(data)
+    i = 0
+    if length >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        while i <= length - 32:
+            k = int.from_bytes(data[i:i + 8], "little")
+            v1 = (_rotl((v1 + k * _P2) & _M64, 31) * _P1) & _M64
+            k = int.from_bytes(data[i + 8:i + 16], "little")
+            v2 = (_rotl((v2 + k * _P2) & _M64, 31) * _P1) & _M64
+            k = int.from_bytes(data[i + 16:i + 24], "little")
+            v3 = (_rotl((v3 + k * _P2) & _M64, 31) * _P1) & _M64
+            k = int.from_bytes(data[i + 24:i + 32], "little")
+            v4 = (_rotl((v4 + k * _P2) & _M64, 31) * _P1) & _M64
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl((v * _P2) & _M64, 31) * _P1) & _M64
+            h = ((h * _P1) + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + length) & _M64
+    while i <= length - 8:
+        k = int.from_bytes(data[i:i + 8], "little")
+        h ^= (_rotl((k * _P2) & _M64, 31) * _P1) & _M64
+        h = ((_rotl(h, 27) * _P1) + _P4) & _M64
+        i += 8
+    if i <= length - 4:
+        h ^= (int.from_bytes(data[i:i + 4], "little") * _P1) & _M64
+        h = ((_rotl(h, 23) * _P2) + _P3) & _M64
+        i += 4
+    while i < length:
+        h ^= (data[i] * _P5) & _M64
+        h = (_rotl(h, 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def fast_hash64_py(s: str) -> int:
+    """Driver-side twin of ``fast_hash64`` (Spark ``xxhash64``, seed 42)."""
+    return xxh64_py(s.encode("utf-8"))
+
+
 def affine_minhash(h31_col, a: int, b: int) -> F.Column:
     """One member of the minhash family over a pre-reduced (mod p) hash."""
     return F.pmod(F.lit(a) * h31_col + F.lit(b), F.lit(MERSENNE_P))

@@ -80,6 +80,7 @@ def upsert_table(
     key_cols: list[str],
     order_col: str,
     partition_by: list[str] | None = None,
+    assume_immutable_partitions: bool = False,
 ) -> None:
     """MERGE INTO semantics over the parquet catalog: latest-wins upsert.
 
@@ -98,7 +99,12 @@ def upsert_table(
     runs to find partitions holding moved keys' stale rows — metadata-sized
     I/O (two thin columns, no shuffle of data rows), but O(table rows); for
     append-only / immutable-partition workloads put the partition column in
-    the key to skip it. When `partition_by` is None the whole table
+    the key to skip it, or pass `assume_immutable_partitions=True` — the
+    caller's promise that a key never changes its partition value (facts
+    keyed by id but partitioned by an ingest date they never move across),
+    which skips the probe. The promise is NOT verified; a violated promise
+    leaves the key duplicated across two partitions, exactly the bug the
+    probe exists to prevent. When `partition_by` is None the whole table
     rewrites (fine for dims, wrong for facts — partition facts).
     """
     from pyspark.sql.window import Window
@@ -119,11 +125,15 @@ def upsert_table(
         # ends duplicated across two partitions). The moved-key probe is a
         # column-pruned key scan; it is skipped entirely when partition_by
         # ⊆ key_cols, where a "moved key" is definitionally a different
-        # key. If a move drains a partition to zero rows, dynamic overwrite
+        # key, or under the caller's assume_immutable_partitions promise.
+        # If a move drains a partition to zero rows, dynamic overwrite
         # cannot rewrite the now-empty partition — those directories are
         # deleted explicitly after the overwrite (below).
         touched = updates.select(*partition_by).distinct()
-        if not set(partition_by) <= set(key_cols):
+        if (
+            not set(partition_by) <= set(key_cols)
+            and not assume_immutable_partitions
+        ):
             upd_keys = updates.select(*key_cols).distinct()
             stale_parts = (
                 cat.read(table)
@@ -156,23 +166,78 @@ def upsert_table(
         # overwrite will never rewrite it — without an explicit delete the
         # stale rows would survive (and compact_table merges files, it
         # never drops rows). Anti-join is over the ALREADY-pruned `touched`
-        # set, so this is O(touched partitions).
-        import os
-        import shutil
-
+        # set, so this is O(touched partitions). Values are CAST TO STRING
+        # in Spark (bool -> 'true', not Python's 'True') and matched
+        # against the ACTUAL partition directories — whose names Spark
+        # writes Hive-escaped (space/':'/'%'/... %-encoded) — by listing
+        # and unescaping them, never by re-deriving the escaped path in
+        # Python (the round-4 silent-miss bug: str(value) built a path
+        # that didn't exist and ignore_errors hid it).
         drained = touched.join(
             merged.select(*partition_by).distinct(), partition_by, "left_anti"
+        ).select(
+            *[F.col(c).cast("string").alias(c) for c in partition_by]
         ).collect()
         cat.overwrite_partitions(table, merged, partition_by)
-        for r in drained:
-            rel = "/".join(
-                f"{c}={'__HIVE_DEFAULT_PARTITION__' if r[c] is None else r[c]}"
-                for c in partition_by
+        if drained:
+            _delete_partition_dirs(
+                cat.path(table),
+                partition_by,
+                {tuple(r[c] for c in partition_by) for r in drained},
             )
-            shutil.rmtree(os.path.join(cat.path(table), rel),
-                          ignore_errors=True)
     else:
         cat.replace_table(table, merged)
+
+
+def _delete_partition_dirs(
+    base: str, partition_by: list[str], drained: set[tuple]
+) -> None:
+    """Delete the on-disk directories of drained partition values.
+
+    Walks the table's REAL partition directory tree level by level,
+    un-escapes each `col=value` component (Spark writes Hive-escaped names:
+    %-encoding for space/':'/'%'/'/'..., `__HIVE_DEFAULT_PARTITION__` for
+    NULL) and removes directories whose decoded value tuple is in
+    `drained` (string-rendered values, Spark cast-to-string semantics).
+    Deletion failures raise — a surviving stale partition is silent row
+    duplication, the exact bug this cleanup exists to prevent."""
+    import os
+    import shutil
+    from urllib.parse import unquote
+
+    level = [(base, ())]
+    for col in partition_by:
+        nxt = []
+        for d, vals in level:
+            try:
+                names = os.listdir(d)
+            except FileNotFoundError:
+                continue
+            for name in names:
+                full = os.path.join(d, name)
+                c, eq, raw = name.partition("=")
+                if eq != "=" or c != col or not os.path.isdir(full):
+                    continue
+                val = (
+                    None
+                    if raw == "__HIVE_DEFAULT_PARTITION__"
+                    else unquote(raw)
+                )
+                nxt.append((full, vals + (val,)))
+        level = nxt
+    for d, vals in level:
+        if vals in drained:
+            shutil.rmtree(d)
+            # prune now-empty parent shells (a multi-level partition whose
+            # leaves all drained leaves an empty part=... directory that
+            # pollutes partition listings)
+            parent = os.path.dirname(d)
+            while os.path.realpath(parent) != os.path.realpath(base):
+                try:
+                    os.rmdir(parent)
+                except OSError:
+                    break
+                parent = os.path.dirname(parent)
 
 
 def compact_table(

@@ -129,6 +129,7 @@ def minhash_signature_table(
     band_size: int = DEFAULT_BAND_SIZE,
     keep_shingle_sets: bool = True,
     keep_minhashes: bool = False,
+    hash_family: str = "portable",
 ) -> DataFrame:
     """(id, shingles) -> (id, [n_shingles, sh_hashed,] bands) in ONE shuffle.
 
@@ -141,17 +142,27 @@ def minhash_signature_table(
     slugs; for document-granularity sets pass False and verify on a
     candidate subset instead — shipping every doc's full shingle set
     through the shuffle re-ships ~the corpus).
-    """
+
+    `hash_family` picks the per-shingle hash: "portable" (md5-derived,
+    DuckDB-twin-able — the oracle-gated default) or "fast" (xxhash64,
+    ~5x cheaper per shingle — the production family; see
+    functions/phash.fast_hash64). Verification is family-independent
+    (containment over an injectively hashed shingle set equals containment
+    over the raw set), so only LSH candidate RECALL can move between
+    families — the golden P/R gate is pytest-run for both
+    (tests/test_linking_cc.py)."""
     from ocds_entity_extract_spark.functions.phash import (
         MERSENNE_P,
         affine_minhash,
+        fast_hash64,
         minhash_params,
         portable_hash64,
     )
 
+    hash_fn = fast_hash64 if hash_family == "fast" else portable_hash64
     hashed = (
         df_with_shingles.select(id_col, F.explode("shingles").alias("_s"))
-        .select(id_col, portable_hash64("_s").alias("_h"))
+        .select(id_col, hash_fn("_s").alias("_h"))
         .withColumn("_h31", F.pmod(F.col("_h"), F.lit(MERSENNE_P)))
     )
     aggs = [
@@ -293,11 +304,13 @@ def candidate_pairs(
     band_size: int = DEFAULT_BAND_SIZE,
     max_bucket: int = DEFAULT_MAX_BUCKET,
     prefix_len: int = DEFAULT_PREFIX_LEN,
+    hash_family: str = "portable",
 ) -> DataFrame:
     """DISTINCT ids -> candidate (src, dst) pairs, src < dst, deduped."""
     base = entities.select(id_col).distinct()
     sig = minhash_signature_table(
-        _spread(with_shingles(base, id_col)), id_col, num_hashes, band_size
+        _spread(with_shingles(base, id_col)), id_col, num_hashes, band_size,
+        hash_family=hash_family,
     )
     lsh_pairs = _lsh_pairs(sig, id_col, max_bucket)
     return (
@@ -317,6 +330,7 @@ def verified_edges(
     max_bucket: int = DEFAULT_MAX_BUCKET,
     prefix_len: int = DEFAULT_PREFIX_LEN,
     cache_signatures: bool = True,
+    hash_family: str = "portable",
 ) -> DataFrame:
     """Candidate pairs -> exact-similarity-verified sameAs edges.
 
@@ -327,6 +341,12 @@ def verified_edges(
     consumers -> cached; it is O(|distinct entities|), far smaller than
     the mention stream — at cluster scale persist to DISK_ONLY instead).
 
+    `hash_family="fast"` swaps the per-shingle md5 for xxhash64 (the
+    production family, ~5x cheaper per shingle; no DuckDB twin — the
+    oracled queries keep "portable"). Containment verification is
+    family-independent, so changing the family can only move LSH
+    candidate recall; both families clear the golden P/R gate in pytest.
+
     Cache lifecycle: the cached signature table is attached to the
     returned DataFrame as ``_cached_deps`` — long-lived sessions (query
     harnesses) should unpersist those after materializing the edges, or
@@ -335,7 +355,8 @@ def verified_edges(
     """
     base = entities.select(id_col).distinct()
     sig = minhash_signature_table(
-        _spread(with_shingles(base, id_col)), id_col, num_hashes, band_size
+        _spread(with_shingles(base, id_col)), id_col, num_hashes, band_size,
+        hash_family=hash_family,
     )
     if cache_signatures:
         sig = sig.cache()
@@ -382,25 +403,36 @@ def verified_edges_py(
     max_bucket: int = DEFAULT_MAX_BUCKET,
     prefix_len: int = DEFAULT_PREFIX_LEN,
     n: int = 3,
+    hash_family: str = "portable",
 ) -> list[tuple[str, str, float, float]]:
     """Exact Python twin of `verified_edges` for driver-side execution.
 
-    Same shingling (`with_shingles`), same md5-derived portable hash and
-    seeded affine minhash family (functions/phash), same LSH band + capped
-    bucket + prefix blocking, same containment/jaccard verification — the
-    edge SET is identical by construction (parity-tested in
-    tests/test_linking_cc.py). Below `small linking threshold` id counts
-    the distributed path is ~15 sub-second shuffle stages of pure
-    scheduling latency; this is the size-adaptive escape hatch, the same
-    argument as `cc._cc_driver_side` and a broadcast join.
+    Same shingling (`with_shingles`), same per-shingle hash family
+    ("portable" = md5-derived, "fast" = bit-exact XXH64 twin of Spark's
+    xxhash64 — functions/phash.fast_hash64_py), same seeded affine minhash
+    family, same LSH band + capped bucket + prefix blocking, same
+    containment/jaccard verification — the edge SET is identical to
+    `verified_edges(..., hash_family=...)` by construction (parity-tested
+    in tests/test_linking_cc.py for BOTH families). Below `small linking
+    threshold` id counts the distributed path is ~15 sub-second shuffle
+    stages of pure scheduling latency; this is the size-adaptive escape
+    hatch, the same argument as `cc._cc_driver_side` and a broadcast join.
     """
     import hashlib
     from collections import defaultdict
 
     from ocds_entity_extract_spark.functions.phash import (
         MERSENNE_P,
+        fast_hash64_py,
         minhash_params,
     )
+
+    if hash_family == "fast":
+        _h64 = fast_hash64_py
+    else:
+        _h64 = lambda g: int(  # noqa: E731
+            hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16
+        )
 
     ids = sorted(set(slugs))
     params = minhash_params(num_hashes)
@@ -410,10 +442,7 @@ def verified_edges_py(
     bands: dict[str, list[str]] = {}
     for s in ids:
         grams = {s[i : i + n] for i in range(max(len(s) - n + 1, 1))}
-        hset = frozenset(
-            int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
-            for g in grams
-        )
+        hset = frozenset(_h64(g) for g in grams)
         hs[s] = hset
         h31 = [h % MERSENNE_P for h in hset]
         mh = [min((a * h + b) % MERSENNE_P for h in h31) for a, b in params]
@@ -449,14 +478,16 @@ def verified_edges_py(
     return edges
 
 
-def linking_canon_dict(slugs: list[str]) -> dict[str, str]:
+def linking_canon_dict(
+    slugs: list[str], hash_family: str = "portable"
+) -> dict[str, str]:
     """ids -> {entity_id: canonical_id} via `verified_edges_py` + union-find,
     identity entries for singletons. The driver-side twin of
-    `canonical_mapping(ids, verified_edges(ids))` as a plain dict — the
-    zero-shuffle assembly path (plans/pipeline.py) broadcasts it to the
-    Python workers, and `linking_mapping_driver_side` wraps it as a
-    DataFrame for join consumers."""
-    edges = verified_edges_py(slugs)
+    `canonical_mapping(ids, verified_edges(ids, hash_family=...))` as a
+    plain dict — the zero-shuffle assembly path (plans/pipeline.py)
+    broadcasts it to the Python workers, and `linking_mapping_driver_side`
+    wraps it as a DataFrame for join consumers."""
+    edges = verified_edges_py(slugs, hash_family=hash_family)
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -477,10 +508,12 @@ def linking_canon_dict(slugs: list[str]) -> dict[str, str]:
     return {s: (find(s) if s in parent else s) for s in sorted(set(slugs))}
 
 
-def linking_mapping_driver_side(spark, slugs: list[str]) -> "DataFrame":
+def linking_mapping_driver_side(
+    spark, slugs: list[str], hash_family: str = "portable"
+) -> "DataFrame":
     """ids -> (entity_id, canonical_id) via `linking_canon_dict`. Output
     contract identical to `canonical_mapping(ids, verified_edges(ids))`."""
-    canon = linking_canon_dict(slugs)
+    canon = linking_canon_dict(slugs, hash_family=hash_family)
     return spark.createDataFrame(
         sorted(canon.items()), "entity_id string, canonical_id string"
     )

@@ -52,6 +52,12 @@ CONTACT_RE = (
     "|tel[.:]?\\s+[0-9]{2,3}[- ][0-9]{4}[- ][0-9]{4})"
 )
 
+# person-named email local part: firstname.lastname[digits]@ — the webtext
+# analogue of party.contactPoint.{id,name} (reference extract.js:372-390
+# creates a PERSON from the contactPoint and a membership to the
+# institution). groups: 1=first 2=last token of the local part.
+PERSON_EMAIL_RE = "^([a-z]+)\\.([a-z]+[0-9]*)@"
+
 # product/item spans (≙ contract.items consumption, reference
 # extract.js:40-106): a procurement-report sentence carrying the item id,
 # description, quantity, unit price, overprice and reference average —
@@ -384,8 +390,10 @@ MEMBERSHIP_SPLIT_RE = f"([^,]+),\\s+({ROLE_RE})\\s+de\\s+([\\s\\S]*)"
 
 
 def member_edge_rows(spans: DataFrame, slug2canon_bc) -> DataFrame:
-    """spans -> (url, member_canon, role, org_canon) rows: the membership
-    branch as ONE Arrow pass with dict-probe canonicalization. ZERO shuffle
+    """spans -> (url, member_canon, role, org_canon, is_purchase) rows: the
+    membership branch as ONE Arrow pass with dict-probe canonicalization.
+    `is_purchase` mirrors memberships_from_spans (the isPurchase analogue,
+    reference extract.js:551-560). ZERO shuffle
     (the consumer's memberOf distinct is a tiny exchange over the already
     page-deduped edge set).
 
@@ -430,6 +438,7 @@ def member_edge_rows(spans: DataFrame, slug2canon_bc) -> DataFrame:
         for batch in it:
             urls = batch.column(0)
             arrs = batch.column(1)
+            purch = batch.column(2)
             parents = pc.list_parent_indices(arrs).to_numpy(
                 zero_copy_only=False
             )
@@ -452,22 +461,27 @@ def member_edge_rows(spans: DataFrame, slug2canon_bc) -> DataFrame:
                     mcs.append(p[0])
                     roles.append(p[1])
                     ocs.append(p[2])
+            idx = pa.array(out_idx, type=pa.int64())
             yield pa.record_batch(
                 [
-                    pc.take(urls, pa.array(out_idx, type=pa.int64())),
+                    pc.take(urls, idx),
                     pa.array(mcs, type=pa.string()),
                     pa.array(roles, type=pa.string()),
                     pa.array(ocs, type=pa.string()),
+                    pc.take(purch, idx),
                 ],
-                names=["url", "member_canon", "role", "org_canon"],
+                names=["url", "member_canon", "role", "org_canon", "is_purchase"],
             )
 
     return (
         spans.filter(F.size("member_spans") > 0)
-        .select("url", "member_spans")
+        .select(
+            "url", "member_spans", (F.size("product_spans") > 0).alias("is_purchase")
+        )
         .mapInArrow(
             _batches,
-            "url string, member_canon string, role string, org_canon string",
+            "url string, member_canon string, role string, org_canon string,"
+            " is_purchase boolean",
         )
     )
 
@@ -492,14 +506,64 @@ def contacts_from_spans(spans: DataFrame) -> DataFrame:
     ).distinct()
 
 
+def contact_person_candidates(spans: DataFrame) -> DataFrame:
+    """detect_spans output -> one row per (page, person-named email):
+    (url, warc_ts, domain, is_purchase, person_slug, person_name).
+
+    Webtext analogue of the contactPoint PERSON (reference
+    extract.js:372-390: `party.contactPoint` becomes a person entity plus a
+    membership to the institution). A web page has no structured
+    contactPoint, so the person is derived from person-shaped email local
+    parts (firstname.lastname[digits]@, PERSON_EMAIL_RE): the slug is the
+    dash-joined local part (exactly what simple_name would produce for the
+    reconstructed display name — both tokens are already lowercase ASCII),
+    the display name its initcap. Pages with generic inboxes
+    (redaccion@..., prensa@...) contribute nothing, so this table is a
+    subset of the already-tiny contact table; downstream joins broadcast
+    it. Edge assembly (→ 'funcionario' memberships to the page's
+    institutions) lives in plans/pipeline.py."""
+    c = spans.filter(F.size("contact_spans") > 0).select(
+        "url",
+        "warc_ts",
+        "domain",
+        (F.size("product_spans") > 0).alias("is_purchase"),
+        F.explode("contact_spans").alias("_e"),
+    )
+    first = F.regexp_extract("_e", PERSON_EMAIL_RE, 1)
+    last = F.regexp_extract("_e", PERSON_EMAIL_RE, 2)
+    return (
+        c.filter(first != "")
+        .select(
+            "url",
+            "warc_ts",
+            "domain",
+            "is_purchase",
+            F.concat_ws("-", first, last).alias("person_slug"),
+            F.concat_ws(
+                " ", F.initcap(first), F.initcap(last)
+            ).alias("person_name"),
+        )
+        .distinct()
+    )
+
+
 def memberships_from_spans(spans: DataFrame) -> DataFrame:
-    """detect_spans output -> (url, person_id, role, org_id) edges."""
-    m = spans.select("url", F.explode("member_spans").alias("m"))
+    """detect_spans output -> (url, person_id, role, org_id, is_purchase)
+    edges. `is_purchase` marks edges found on product-bearing pages — the
+    webtext analogue of isPurchase(metadata.source) (reference
+    extract.js:551-560), which gates the contract_count vs purchase_count
+    counter families downstream (plans/documents.py)."""
+    m = spans.select(
+        "url",
+        (F.size("product_spans") > 0).alias("is_purchase"),
+        F.explode("member_spans").alias("m"),
+    )
     return m.select(
         "url",
         simple_name(F.regexp_extract("m", MEMBERSHIP_RE, 1)).alias("person_id"),
         F.regexp_extract("m", MEMBERSHIP_RE, 2).alias("role"),
         simple_name(F.regexp_extract("m", MEMBERSHIP_RE, 3)).alias("org_id"),
+        "is_purchase",
     ).filter((F.col("person_id") != "") & (F.col("org_id") != ""))
 
 

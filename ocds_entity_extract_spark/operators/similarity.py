@@ -74,18 +74,17 @@ def ann_topk_lsh(
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
     if probe_hamming is None:
-        # DEFAULT radius 2: bench recall@10 is 0.9 at radius 2 vs 0.5 at
-        # radius 1 on the low-structure bench corpus — good recall must be
-        # what callers get without knowing the knob. HONEST COST NOTE: the
-        # candidate fraction is (1 + n + n(n-1)/2) / 2^n_planes of the
-        # corpus in expectation — at n_planes=4 that is 11/16 ~= 69%, i.e.
-        # near-brute-force (recall on low-structure vectors is bought
-        # ONLY with candidate fraction; there is no free lunch below
-        # ~8 planes). At the n_planes=8 default it is 37/256 ~= 14%, and
-        # the fraction shrinks geometrically as planes are added — size
-        # n_planes ~ log2(corpus/target_bucket) and radius to the recall
-        # budget; pass probe_hamming explicitly to pin the cost.
-        probe_hamming = 2 if multi_probe else 0
+        # DEFAULT radius scales with n_planes so naive callers never pay a
+        # silent near-scan: radius 2 only from 8 planes up (candidate
+        # fraction (1 + n + n(n-1)/2) / 2^n = 37/256 ~= 14% at n=8,
+        # shrinking geometrically with more planes), radius 1 below it
+        # (5/16 ~= 31% at n=4 — radius 2 there would probe 11/16 ~= 69% of
+        # the corpus, near-brute-force). Recall on low-structure vectors is
+        # bought ONLY with candidate fraction (bench corpus: recall@10 0.5
+        # at n=4/radius 1 for 31%, 0.9 at radius 2 for 69% — no free lunch
+        # below ~8 planes); size n_planes ~ log2(corpus/target_bucket) and
+        # pass probe_hamming explicitly to pin a recall budget.
+        probe_hamming = (2 if n_planes >= 8 else 1) if multi_probe else 0
     bucketed = with_lsh_bucket(embeddings, vec_col, dim, n_planes)
     qrow = bucketed.filter(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("qv"), F.col("bucket").alias("qbucket")

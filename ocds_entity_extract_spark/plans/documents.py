@@ -23,13 +23,38 @@ from ocds_entity_extract_spark.functions.classify import (
 from ocds_entity_extract_spark.functions.text import membership_id
 
 # role buckets for per-role counters (≙ the reference's fixed
-# contract_count{buyer,supplier,funder} buckets, extract.js:216-268/546-578)
+# contract_count{buyer,supplier,funder} buckets, extract.js:216-268/546-578).
+# 'funcionario' is the contactPoint-person membership role (≙ createPerson's
+# third arg + the encargado membership, extract.js:372-390).
 ROLE_BUCKETS: dict[str, tuple[str, ...]] = {
     "director_general": ("director general", "directora general"),
     "titular": ("titular",),
     "presidente": ("presidente", "presidenta"),
     "gerente": ("gerente",),
+    "funcionario": ("funcionario",),
 }
+
+# connector tokens never contributing an initial (mirror of the mention
+# grammar's _CONN set, operators/mentions.py)
+_INITIALS_SKIP = ("de", "del", "la", "las", "los", "y", "e")
+
+
+def initials_col(slug_col) -> F.Column:
+    """Initials identifier id from an entity slug: first character of each
+    non-connector alpha token, joined — the webtext analogue of
+    `laundry.simpleName(party.initials)` (reference extract.js:882-887,
+    where `initials` is a party input field; a web entity's initials are
+    derived from its laundered name instead). Empty (no identifier) when
+    fewer than two contributing tokens."""
+    c = F.col(slug_col) if isinstance(slug_col, str) else slug_col
+    toks = F.filter(
+        F.split(c, "-"),
+        lambda t: (~t.isin(*_INITIALS_SKIP)) & t.rlike("^[a-z]"),
+    )
+    return F.when(
+        F.size(toks) >= 2,
+        F.array_join(F.transform(toks, lambda t: F.substring(t, 1, 1)), ""),
+    ).otherwise(F.lit(""))
 
 
 def entity_documents(
@@ -38,6 +63,7 @@ def entity_documents(
     member_edges: DataFrame | None = None,
     contact_edges: DataFrame | None = None,
     inst_regions: DataFrame | None = None,
+    contact_persons: DataFrame | None = None,
 ) -> DataFrame:
     """Merged entities -> canonical output documents.
 
@@ -68,11 +94,26 @@ def entity_documents(
       NULL for companies/persons (the reference only stamps institutions)
 
     `member_edges` is PipelineResult.member_edges
-    (url, member_canon, role, org_canon); `contact_edges` is
+    (url, member_canon, role, org_canon, is_purchase); `contact_edges` is
     PipelineResult.contact_edges (canonical_id, contact_type,
-    contact_value); `inst_regions` is PipelineResult.inst_regions.
+    contact_value); `inst_regions` is PipelineResult.inst_regions;
+    `contact_persons` is PipelineResult.contact_persons (entity-shaped
+    rows for NEW contactPoint persons, ≙ createPerson extract.js:372-390 —
+    unioned in as already-canonical person docs; their 'funcionario'
+    memberships arrive via member_edges like everyone else's).
     Pass None for a mention-only corpus — the derived fields come out
     zero/null/empty.
+
+    Counter families (≙ the reference's contract_count vs purchase_count
+    split gated on isPurchase(metadata.source), extract.js:546-578): each
+    membership edge counts toward `counters.contract_count.{role}` or
+    `counters.purchase_count.{role}` by its page's `is_purchase` flag
+    (product-bearing page = purchase); `counters.membership_count.{role}`
+    stays the family-blind total. Edges tables without the flag (legacy
+    inputs) count as contracts.
+
+    Entities whose membership roles include 'funcionario' carry it as an
+    extra classification entry (≙ otherTypes, extract.js:380).
     """
     if "source_runs" not in entities.columns:
         # legacy entities tables (pre-sourceRun) still roll up cleanly
@@ -116,13 +157,45 @@ def entity_documents(
         )
     )
 
+    if contact_persons is not None:
+        # NEW contactPoint persons enter as already-canonical singleton
+        # docs (their slug is their canonical id; the pipeline has already
+        # excluded slugs the mapping knows)
+        canon = canon.unionByName(
+            contact_persons.select(
+                F.col("entity_id").alias("canonical_id"),
+                "name",
+                F.lit(1).alias("_rank"),
+                F.array("name").alias("_all_names"),
+                F.array("entity_id").alias("_alias_slugs"),
+                F.lit(None).cast("string").alias("_subtype"),
+                "mention_count",
+                "page_count",
+                "first_seen",
+                "last_seen",
+                "sources",
+                "source_runs",
+            )
+        )
+
     if member_edges is not None:
-        role_aggs = [
-            F.sum(
-                F.when(F.col("role").isin(*roles), F.lit(1)).otherwise(F.lit(0))
-            ).cast("long").alias(f"n_{bucket}")
-            for bucket, roles in ROLE_BUCKETS.items()
-        ]
+        # edges without the is_purchase flag (legacy inputs) = contracts
+        is_purch = (
+            F.col("is_purchase")
+            if "is_purchase" in member_edges.columns
+            else F.lit(False)
+        )
+        one_if = lambda cond: F.sum(  # noqa: E731
+            F.when(cond, F.lit(1)).otherwise(F.lit(0))
+        ).cast("long")
+        role_aggs = []
+        for bucket, roles in ROLE_BUCKETS.items():
+            in_bucket = F.col("role").isin(*roles)
+            role_aggs += [
+                one_if(in_bucket).alias(f"n_{bucket}"),
+                one_if(in_bucket & ~is_purch).alias(f"n_{bucket}_contract"),
+                one_if(in_bucket & is_purch).alias(f"n_{bucket}_purchase"),
+            ]
         as_member = member_edges.groupBy(
             F.col("member_canon").alias("canonical_id")
         ).agg(
@@ -139,7 +212,10 @@ def entity_documents(
         )
     else:
         for bucket in ROLE_BUCKETS:
-            canon = canon.withColumn(f"n_{bucket}", F.lit(None).cast("long"))
+            for fam in ("", "_contract", "_purchase"):
+                canon = canon.withColumn(
+                    f"n_{bucket}{fam}", F.lit(None).cast("long")
+                )
         canon = canon.withColumn(
             "_parent_id", F.lit(None).cast("string")
         ).withColumn("member_count", F.lit(None).cast("long"))
@@ -194,6 +270,10 @@ def entity_documents(
         .when(first_tok == "gobierno", F.lit("region"))
         .otherwise(F.lit("country")),
     )
+    # initials identifier (≙ party.initials -> identifiers,
+    # extract.js:882-887 — institution assembly), derived from the
+    # canonical slug; empty when < 2 contributing tokens
+    _initials = initials_col("canonical_id")
     identifiers = F.array_sort(
         F.array_distinct(
             F.concat(
@@ -205,14 +285,29 @@ def entity_documents(
                     "sources",
                     lambda d: F.struct(d.alias("id"), F.lit("domain").alias("scheme")),
                 ),
+                F.when(
+                    (etype == "institution") & (_initials != ""),
+                    F.array(
+                        F.struct(
+                            _initials.alias("id"),
+                            F.lit("initials").alias("scheme"),
+                        )
+                    ),
+                ).otherwise(
+                    F.array().cast("array<struct<id:string,scheme:string>>")
+                ),
             )
         )
     )
+    classification = F.when(
+        F.coalesce(F.col("n_funcionario"), F.lit(0)) > 0,
+        F.array(etype, F.lit("funcionario")),
+    ).otherwise(F.array(etype))
     doc = canon.select(
         F.col("canonical_id").alias("id"),
         "name",
         etype.alias("entity_type"),
-        F.array(etype).alias("classification"),
+        classification.alias("classification"),
         F.filter(F.array(subclass), lambda x: x.isNotNull()).alias(
             "subclassification"
         ),
@@ -233,6 +328,25 @@ def entity_documents(
                     for bucket in ROLE_BUCKETS
                 ]
             ).alias("membership_count"),
+            # contract vs purchase families (≙ extract.js:546-578, gated on
+            # the page-level isPurchase analogue); membership_count above
+            # stays the family-blind total
+            F.struct(
+                *[
+                    F.coalesce(F.col(f"n_{bucket}_contract"), F.lit(0)).alias(
+                        bucket
+                    )
+                    for bucket in ROLE_BUCKETS
+                ]
+            ).alias("contract_count"),
+            F.struct(
+                *[
+                    F.coalesce(F.col(f"n_{bucket}_purchase"), F.lit(0)).alias(
+                        bucket
+                    )
+                    for bucket in ROLE_BUCKETS
+                ]
+            ).alias("purchase_count"),
             F.coalesce(F.col("member_count"), F.lit(0)).alias("members"),
         ).alias("counters"),
         "sources",

@@ -65,11 +65,15 @@ class PipelineResult:
     mentions: DataFrame
     mapping: DataFrame          # entity_id -> canonical_id
     sameas_edges: DataFrame
-    member_edges: DataFrame     # (url, member_canon, role, org_canon)
+    member_edges: DataFrame     # (url, member_canon, role, org_canon, is_purchase)
     area_nodes: DataFrame       # deduped area node table
     inst_regions: DataFrame     # (entity_id=canonical, region, gov_level, ...)
     contact_edges: DataFrame    # (canonical_id, contact_type, contact_value)
     products: DataFrame         # product docs (A12-A15, plans/products.py)
+    contact_persons: DataFrame | None = None  # NEW person entities derived
+    # from person-named contact emails (≙ contactPoint person,
+    # extract.js:372-390) — entity-table-shaped rows for slugs NOT already
+    # in the mapping; their 'funcionario' memberships ride member_edges
 
 
 def build_triples(
@@ -83,9 +87,26 @@ def build_triples(
     emit_areas: bool = True,
     max_driver_linking: int = 100_000,
     cc_small_graph_threshold: int = 1_000_000,
+    linking_hash_family: str = "portable",
+    emit_contact_persons: bool | None = None,
 ) -> PipelineResult:
     """Run the full plan; all returned DataFrames are lazy except cached
-    intermediates."""
+    intermediates.
+
+    `linking_hash_family`: per-shingle hash family for MinHash-LSH linking —
+    "portable" (md5-derived, DuckDB-twin-able; the oracle-gated default) or
+    "fast" (xxhash64, ~5x cheaper per shingle — the production family the
+    scaling evidence runs; see operators/linking.verified_edges). Both
+    families clear the golden P/R gate and emit identical triples on the
+    test corpora (pytest-gated).
+
+    `emit_contact_persons`: the contactPoint-person branch (≙ reference
+    extract.js:372-390). None (default) = size-adaptive auto: one cheap
+    columnar pass over the cached spans table checks whether any
+    person-named contact email exists at all, and the branch's ~4 tiny
+    stages are skipped entirely on corpora without them (most crawl slices;
+    keeps the measured scaling window free of empty-stage latency).
+    True/False force it on/off."""
     # ONE pass over pages computes all three span arrays inside the Python
     # worker (html -> text -> spans; the text never crosses Arrow back to
     # the JVM — see detect_spans_fused). The small span table is cached so
@@ -157,6 +178,7 @@ def build_triples(
     # sub-web-scale corpus. Above the threshold: the distributed path.
     ids = dim.select("entity_id")
     surf2canon = None
+    dim_pdf = None
     if dim_count is not None and dim_count <= max_driver_linking:
         from ocds_entity_extract_spark.operators.linking import (
             linking_canon_dict,
@@ -167,10 +189,17 @@ def build_triples(
         # entity_type) rows give the slug universe for union-find, the
         # surface->canonical dict, and the per-surface type ranks
         # (<= dim_count entries — the same driver budget as the broadcast
-        # join).
-        dim_rows = dim.select("surface", "entity_id", "entity_type").collect()
-        canon = linking_canon_dict(sorted({r["entity_id"] for r in dim_rows}))
-        surf2canon = {r["surface"]: canon[r["entity_id"]] for r in dim_rows}
+        # join). Collected via Arrow (toPandas): ~40 bytes/row of columnar
+        # buffers instead of a Python Row object per row — an order of
+        # magnitude less driver allocation at the threshold sizes.
+        dim_pdf = dim.select("surface", "entity_id", "entity_type").toPandas()
+        canon = linking_canon_dict(
+            sorted(set(dim_pdf["entity_id"])), hash_family=linking_hash_family
+        )
+        surf2canon = {
+            s: canon[e]
+            for s, e in zip(dim_pdf["surface"], dim_pdf["entity_id"])
+        }
         mapping_plain = spark.createDataFrame(
             sorted(canon.items()), "entity_id string, canonical_id string"
         )
@@ -184,7 +213,7 @@ def build_triples(
         # never dangles on a non-join relation.
         mapping = F.broadcast(mapping_plain)
     else:
-        edges = verified_edges(ids)
+        edges = verified_edges(ids, hash_family=linking_hash_family)
         mapping_plain = canonical_mapping(
             ids, edges, small_graph_threshold=cc_small_graph_threshold
         )
@@ -206,14 +235,18 @@ def build_triples(
         # memory-bus-bound exchange that does not parallelize on one box.
         # Only a dim too big to collect (true 10^9-surface crawls, or
         # surface_broadcast='aqe' which skips the count) takes the
-        # join+distinct path below.
+        # join+distinct path below. Both collects go through Arrow
+        # (toPandas) — columnar buffers, not 2M Python Row objects.
         if dim_count is not None and dim_count <= max_broadcast_surfaces:
-            canon = {
-                r["entity_id"]: r["canonical_id"]
-                for r in mapping_plain.collect()
+            _mp = mapping_plain.toPandas()
+            canon = dict(zip(_mp["entity_id"], _mp["canonical_id"]))
+            dim_pdf = dim.select(
+                "surface", "entity_id", "entity_type"
+            ).toPandas()
+            surf2canon = {
+                s: canon[e]
+                for s, e in zip(dim_pdf["surface"], dim_pdf["entity_id"])
             }
-            dim_rows = dim.select("surface", "entity_id", "entity_type").collect()
-            surf2canon = {r["surface"]: canon[r["entity_id"]] for r in dim_rows}
             mapping = F.broadcast(mapping_plain)
         else:
             mapping = mapping_plain
@@ -293,9 +326,9 @@ def build_triples(
         _rank = {"institution": 3, "company": 2}
         _type = {3: "institution", 2: "company", 1: "person"}
         rank_by_canon: dict[str, int] = {}
-        for r in dim_rows:
-            cid = canon[r["entity_id"]]
-            rk = _rank.get(r["entity_type"], 1)
+        for e, t in zip(dim_pdf["entity_id"], dim_pdf["entity_type"]):
+            cid = canon[e]
+            rk = _rank.get(t, 1)
             if rk > rank_by_canon.get(cid, 0):
                 rank_by_canon[cid] = rk
         type_rows = sorted(
@@ -395,8 +428,118 @@ def build_triples(
             .withColumnRenamed("canonical_id", "member_canon")
             .join(mapping.withColumnRenamed("entity_id", "org_id"), "org_id")
             .withColumnRenamed("canonical_id", "org_canon")
-            .select("url", "member_canon", "role", "org_canon")
+            .select("url", "member_canon", "role", "org_canon", "is_purchase")
         )
+    # --- contactPoint person branch (≙ reference extract.js:372-390:
+    # party.contactPoint -> a PERSON entity + a membership to the
+    # institution). Webtext analogue: person-named contact emails
+    # (firstname.lastname@, operators/mentions.contact_person_candidates)
+    # become person entities with 'funcionario' memberships to every
+    # institution mentioned on the contact-bearing page. Size-adaptive
+    # auto-gate: corpora without person-named emails (most crawl slices,
+    # incl. the scaling corpus) skip the branch's ~4 tiny stages entirely
+    # after ONE cheap columnar pass over the cached spans table.
+    from ocds_entity_extract_spark.operators.mentions import (
+        contact_person_candidates,
+    )
+    from ocds_entity_extract_spark.operators.merge import source_run
+
+    contact_persons = None
+    cp_type_triples = None
+    cp = contact_person_candidates(spans)
+    has_cp = (
+        emit_contact_persons
+        if emit_contact_persons is not None
+        else not cp.isEmpty()
+    )
+    if has_cp:
+        if cache_intermediates:
+            cp = cp.cache()
+        cp_urls = F.broadcast(cp.select("url").distinct())
+        # institutions on the contact-bearing pages only (tiny subset):
+        # the semi join broadcasts the contact urls, so no corpus shuffle
+        if surf2canon is not None:
+            inst_df = spark.createDataFrame(
+                [(c,) for c, rk in sorted(rank_by_canon.items()) if rk == 3],
+                "org_canon string",
+            )
+            page_inst = (
+                canon_mention_rows(spans.join(cp_urls, "url", "semi"), bc)
+                .select(F.col("subj").alias("url"), F.col("obj").alias("org_canon"))
+                .join(F.broadcast(inst_df), "org_canon")
+            )
+        else:
+            _sub = spans.join(cp_urls, "url", "semi").select(
+                "url", F.explode(F.array_distinct("mention_spans")).alias("surface")
+            )
+            page_inst = (
+                _sub.join(
+                    F.broadcast(dim.select("surface", "entity_id"))
+                    if use_broadcast
+                    else dim.select("surface", "entity_id"),
+                    "surface",
+                )
+                .join(mapping, "entity_id")
+                .join(
+                    canon_rank.filter(F.col("_rank") == 3).select("canonical_id"),
+                    "canonical_id",
+                )
+                .select("url", F.col("canonical_id").alias("org_canon"))
+                .distinct()
+            )
+        # canonicalize the person slug through the mapping — an email slug
+        # that IS an existing entity reuses it (≙ findObjectInCollection,
+        # extract.js:374); unknown slugs are NEW persons (≙ createPerson)
+        cp_canon = cp.join(
+            mapping.withColumnRenamed("entity_id", "person_slug")
+            .withColumnRenamed("canonical_id", "_pc"),
+            "person_slug",
+            "left",
+        ).withColumn("member_canon", F.coalesce("_pc", "person_slug"))
+        funcionario_edges = (
+            cp_canon.join(page_inst, "url")
+            .select(
+                "url",
+                "member_canon",
+                F.lit("funcionario").alias("role"),
+                "org_canon",
+                "is_purchase",
+            )
+            .distinct()
+        )
+        member_edges = member_edges.unionByName(funcionario_edges)
+        contact_persons = (
+            cp_canon.filter(F.col("_pc").isNull())
+            .groupBy(F.col("person_slug").alias("entity_id"))
+            .agg(
+                F.min("person_name").alias("name"),
+                F.countDistinct("url").alias("page_count"),
+                F.min("warc_ts").alias("first_seen"),
+                F.max("warc_ts").alias("last_seen"),
+                F.array_sort(F.collect_set("domain")).alias("sources"),
+                F.array_sort(F.collect_set(source_run("warc_ts"))).alias(
+                    "source_runs"
+                ),
+            )
+            .select(
+                "entity_id",
+                "name",
+                F.lit("person").alias("entity_type"),
+                F.array().cast("array<string>").alias("other_names"),
+                F.lit(0).cast("long").alias("mention_count"),
+                "page_count",
+                "first_seen",
+                "last_seen",
+                "sources",
+                "source_runs",
+            )
+        )
+        cp_type_triples = contact_persons.select(
+            F.col("entity_id").alias("subj"),
+            F.lit("type").alias("pred"),
+            F.lit("person").alias("obj"),
+        )
+
     member_triples = member_edges.select(
         F.col("member_canon").alias("subj"),
         F.lit("memberOf").alias("pred"),
@@ -406,19 +549,31 @@ def build_triples(
     # product entity kind (≙ contract-item consumption + createProduct,
     # reference extract.js:40-140): product sentences -> typed item rows ->
     # (url, mentionsProduct, product_id) triples + the per-product document
-    # table. Product ids are page-independent (CBMEI dotted ids), so the
-    # mention distinct is an exchange over the TINY product-bearing subset
-    # only; the doc aggregation is one partial-aggregated groupBy, computed
-    # lazily (not part of the triple DAG).
+    # table. The triple branch is ZERO-SHUFFLE: spans is url-unique, so
+    # duplicate (url, product_id) pairs can only arise WITHIN one page's
+    # span array — array_distinct over the per-page extracted ids is
+    # globally complete and the old `.distinct()` exchange (the 0.48-
+    # scaling-efficiency stage in the round-4 phase table) disappears
+    # entirely. The doc aggregation stays one partial-aggregated groupBy,
+    # computed lazily (not part of the triple DAG).
+    from ocds_entity_extract_spark.functions.text import cbmei_id_reformat
+    from ocds_entity_extract_spark.operators.mentions import PRODUCT_RE
     from ocds_entity_extract_spark.plans.products import (
         product_docs,
         products_from_spans,
     )
 
     items = products_from_spans(spans)
+    _pids = F.array_distinct(
+        F.transform(
+            "product_spans",
+            lambda s: cbmei_id_reformat(F.regexp_extract(s, PRODUCT_RE, 1)),
+        )
+    )
     product_triples = (
-        items.select("url", "product_id")
-        .distinct()
+        spans.filter(F.size("product_spans") > 0)
+        .select("url", F.explode(_pids).alias("product_id"))
+        .filter(F.col("product_id") != "")
         .select(
             F.col("url").alias("subj"),
             F.lit("mentionsProduct").alias("pred"),
@@ -457,6 +612,10 @@ def build_triples(
             .unionByName(area_triples)
             .unionByName(product_triples)
         )
+    if cp_type_triples is not None:
+        # type triples for the NEW contact persons (existing slugs already
+        # carry a type triple from the dim-derived rank)
+        triples = triples.unionByName(cp_type_triples)
     return PipelineResult(
         triples=triples,
         entities=entities,
@@ -468,4 +627,5 @@ def build_triples(
         inst_regions=addrs,
         contact_edges=contact_edges,
         products=products,
+        contact_persons=contact_persons,
     )

@@ -645,9 +645,11 @@ def q_ann_topk_bruteforce(spark, sf_dir):
 def _ann_lsh_oracle_sql(dim: int = 64, n_planes: int = 4, seed: int = 7) -> str:
     """DuckDB twin of ann_topk_lsh AT ITS DEFAULTS: the SAME seeded
     hyperplanes (plain literals in both plans) -> sign-pattern bucket ->
-    multi-probe radius 2 (query bucket + every hamming-1 and hamming-2
-    neighbor — the operator's default since recall@10 at radius 1 was
-    0.5) -> bucket-local top-k."""
+    multi-probe at the operator's n_planes-scaled default radius (2 only
+    from 8 planes; radius 1 below — at 4 planes radius 2 would probe 11/16
+    of the corpus, a silent near-scan) -> bucket-local top-k. The probe
+    mask set is EMBEDDED here and derived by the same rule, so operator
+    and oracle stay locked."""
     from ocds_entity_extract_spark.operators.similarity import _hyperplanes
 
     planes = _hyperplanes(dim, n_planes, seed)
@@ -656,11 +658,14 @@ def _ann_lsh_oracle_sql(dim: int = 64, n_planes: int = 4, seed: int = 7) -> str:
         f"THEN {1 << i} ELSE 0 END"
         for i, p in enumerate(planes)
     )
-    masks = [1 << i for i in range(n_planes)] + [
-        (1 << i) | (1 << j)
-        for i in range(n_planes)
-        for j in range(i + 1, n_planes)
-    ]
+    radius = 2 if n_planes >= 8 else 1          # the operator's default rule
+    masks = [1 << i for i in range(n_planes)]
+    if radius >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
     probe = " OR ".join(
         ["e.bucket = q.qbucket"]
         + [f"e.bucket = xor(q.qbucket, {m})" for m in masks]
@@ -1528,8 +1533,10 @@ def _kg_seeded_triples_oracle_sql(n_pages: int = 300) -> str:
         DEFAULT_PREFIX_LEN,
     )
     from ocds_entity_extract_spark.operators.mentions import (
+        CONTACT_RE,
         MEMBERSHIP_RE,
         MENTION_RE,
+        PERSON_EMAIL_RE,
         PRODUCT_RE,
     )
 
@@ -2021,7 +2028,17 @@ def _kg_seeded_entities_oracle_sql(n_pages: int = 300) -> str:
              [x[2] || ':' || x[1]
               for x in list_sort(
                 [[s, 'slug'] for s in c.alias_slugs]
-                || [[d, 'domain'] for d in c.sources])], ',') AS identifiers,
+                || [[d, 'domain'] for d in c.sources]
+                || (CASE WHEN c.rank = 3
+                    AND len(list_filter(string_split(c.canonical_id, '-'),
+                        t -> t NOT IN ('de','del','la','las','los','y','e')
+                             AND regexp_matches(t, '^[a-z]'))) >= 2
+                    THEN [[array_to_string(list_transform(
+                           list_filter(string_split(c.canonical_id, '-'),
+                             t -> t NOT IN ('de','del','la','las','los','y','e')
+                                  AND regexp_matches(t, '^[a-z]')),
+                           t -> substr(t, 1, 1)), ''), 'initials']]
+                    ELSE CAST([] AS VARCHAR[][]) END))], ',') AS identifiers,
            coalesce(array_to_string(
              list_sort(list_filter(c.all_names, x -> x <> c.name)), ','
            ), '') AS other_names,
@@ -2154,6 +2171,18 @@ def _kg_template_pages(docs):
             F.lit(".00 según el acta.</p>"),
         ),
     ).otherwise(F.lit(""))
+    # person-named contact email (≙ party.contactPoint, extract.js:372-390):
+    # every 15th doc — always an institution page (15 ≡ 0 mod 5), so the
+    # 'funcionario' membership fires; every 30th is also a product page, so
+    # the purchase_count family fires too
+    contact = F.when(
+        d % 15 == 0,
+        F.concat(
+            F.lit("<p>contacto: maria.lopez"),
+            (d % 8).cast("string"),
+            F.lit("@docs.example.mx para prensa.</p>"),
+        ),
+    ).otherwise(F.lit(""))
     html = F.encode(
         F.concat(
             F.lit(
@@ -2167,6 +2196,7 @@ def _kg_template_pages(docs):
             inst,
             memb,
             prod,
+            contact,
             F.lit("<p>"),
             F.col("text"),
             F.lit("</p></body></html>"),
@@ -2210,8 +2240,10 @@ def _kg_triples_oracle_sql() -> str:
         DEFAULT_PREFIX_LEN,
     )
     from ocds_entity_extract_spark.operators.mentions import (
+        CONTACT_RE,
         MEMBERSHIP_RE,
         MENTION_RE,
+        PERSON_EMAIL_RE,
         PRODUCT_RE,
     )
 
@@ -2268,6 +2300,10 @@ def _kg_triples_oracle_sql() -> str:
                                  ELSE '-1.75' END)
                         || ' y promedio $' || CAST(doc_id % 5 AS VARCHAR)
                         || '.00 según el acta.'
+                   ELSE '' END)
+               || (CASE WHEN doc_id % 15 = 0
+                   THEN ' contacto: maria.lopez' || CAST(doc_id % 8 AS VARCHAR)
+                        || '@docs.example.mx para prensa.'
                    ELSE '' END)
                || ' ' || text AS text
       FROM documents
@@ -2398,6 +2434,34 @@ def _kg_triples_oracle_sql() -> str:
                        || substr(pid, 7, 4) || '.' || substr(pid, 11)
                   ELSE pid END AS product_id
       FROM prodid WHERE pid <> ''
+    ),
+    cmail AS (
+      SELECT url, unnest(regexp_extract_all(text, '{CONTACT_RE}')) AS cspan
+      FROM norm
+    ),
+    cp AS (
+      SELECT DISTINCT url,
+             regexp_extract(cspan, '{PERSON_EMAIL_RE}', 1) || '-'
+               || regexp_extract(cspan, '{PERSON_EMAIL_RE}', 2) AS person_slug
+      FROM cmail WHERE regexp_matches(cspan, '{PERSON_EMAIL_RE}')
+    ),
+    pinst AS (
+      SELECT DISTINCT o.url, mp.canonical_id AS org_canon
+      FROM occ o
+      JOIN mapping mp ON o.entity_id = mp.entity_id
+      JOIN crank cr ON cr.canonical_id = mp.canonical_id AND cr.rnk = 3
+      WHERE o.url IN (SELECT url FROM cp)
+    ),
+    fedges AS (
+      SELECT DISTINCT coalesce(mp.canonical_id, c.person_slug) AS member_canon,
+             pi.org_canon
+      FROM cp c
+      JOIN pinst pi ON pi.url = c.url
+      LEFT JOIN mapping mp ON mp.entity_id = c.person_slug
+    ),
+    cpnew AS (
+      SELECT DISTINCT person_slug FROM cp
+      WHERE person_slug NOT IN (SELECT entity_id FROM mapping)
     )
     SELECT subj, pred, obj FROM (
       SELECT DISTINCT o.url AS subj, 'mentions' AS pred, mp.canonical_id AS obj
@@ -2408,15 +2472,22 @@ def _kg_triples_oracle_sql() -> str:
                       WHEN 2 THEN 'company' ELSE 'person' END AS obj
       FROM crank
       UNION ALL
+      SELECT person_slug AS subj, 'type' AS pred, 'person' AS obj FROM cpnew
+      UNION ALL
       SELECT entity_id AS subj, 'sameAs' AS pred, canonical_id AS obj
       FROM mapping WHERE entity_id <> canonical_id
       UNION ALL
-      SELECT DISTINCT p.canonical_id AS subj, 'memberOf' AS pred,
-             o2.canonical_id AS obj
-      FROM medges e
-      JOIN mapping p ON e.person_id = p.entity_id
-      JOIN mapping o2 ON e.org_id = o2.entity_id
-      WHERE e.person_id <> '' AND e.org_id <> ''
+      SELECT DISTINCT subj, pred, obj FROM (
+        SELECT p.canonical_id AS subj, 'memberOf' AS pred,
+               o2.canonical_id AS obj
+        FROM medges e
+        JOIN mapping p ON e.person_id = p.entity_id
+        JOIN mapping o2 ON e.org_id = o2.entity_id
+        WHERE e.person_id <> '' AND e.org_id <> ''
+        UNION ALL
+        SELECT member_canon AS subj, 'memberOf' AS pred, org_canon AS obj
+        FROM fedges
+      )
       UNION ALL
       SELECT subj, pred, obj FROM (
         SELECT canonical_id AS subj, 'inArea' AS pred, state_code AS obj
@@ -2467,7 +2538,13 @@ def _kg_entities_oracle_sql() -> str:
         DEFAULT_NUM_HASHES,
         DEFAULT_PREFIX_LEN,
     )
-    from ocds_entity_extract_spark.operators.mentions import MEMBERSHIP_RE, MENTION_RE
+    from ocds_entity_extract_spark.operators.mentions import (
+        CONTACT_RE,
+        MEMBERSHIP_RE,
+        MENTION_RE,
+        PERSON_EMAIL_RE,
+        PRODUCT_RE,
+    )
     from ocds_entity_extract_spark.queries import TS_FMT_DUCK
 
     kw = ", ".join(f"'{k}'" for k in INSTITUTION_KEYWORDS)
@@ -2525,12 +2602,17 @@ def _kg_entities_oracle_sql() -> str:
                         || ' y promedio $' || CAST(doc_id % 5 AS VARCHAR)
                         || '.00 según el acta.'
                    ELSE '' END)
+               || (CASE WHEN doc_id % 15 = 0
+                   THEN ' contacto: maria.lopez' || CAST(doc_id % 8 AS VARCHAR)
+                        || '@docs.example.mx para prensa.'
+                   ELSE '' END)
                || ' ' || text AS text
       FROM documents
     ),
     norm AS (
       SELECT url, warc_ts,
-             trim(regexp_replace(text, '\s+', ' ', 'g')) AS text
+             trim(regexp_replace(text, '\s+', ' ', 'g')) AS text,
+             regexp_matches(text, '{PRODUCT_RE}') AS is_purchase
       FROM pages
     ),
     m AS (
@@ -2653,11 +2735,12 @@ def _kg_entities_oracle_sql() -> str:
       FROM cranked GROUP BY canonical_id
     ),
     mm AS (
-      SELECT url, unnest(regexp_extract_all(text, '{MEMBERSHIP_RE}')) AS mspan
+      SELECT url, is_purchase,
+             unnest(regexp_extract_all(text, '{MEMBERSHIP_RE}')) AS mspan
       FROM norm
     ),
     medges0 AS (
-      SELECT url,
+      SELECT url, is_purchase,
              {slug(f"regexp_extract(mspan, '{MEMBERSHIP_RE}', 1)")} AS person_id,
              regexp_extract(mspan, '{MEMBERSHIP_RE}', 2) AS role,
              {slug(f"regexp_extract(mspan, '{MEMBERSHIP_RE}', 3)")} AS org_id
@@ -2665,11 +2748,76 @@ def _kg_entities_oracle_sql() -> str:
     ),
     medges AS (
       SELECT m0.url, p.canonical_id AS member_canon, m0.role,
-             o2.canonical_id AS org_canon
+             o2.canonical_id AS org_canon, m0.is_purchase
       FROM medges0 m0
       JOIN mapping p ON m0.person_id = p.entity_id
       JOIN mapping o2 ON m0.org_id = o2.entity_id
       WHERE m0.person_id <> '' AND m0.org_id <> ''
+    ),
+    cmail AS (
+      SELECT url, warc_ts, is_purchase,
+             regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS domain,
+             unnest(regexp_extract_all(text, '{CONTACT_RE}')) AS cspan
+      FROM norm
+    ),
+    cpe AS (
+      SELECT DISTINCT url, warc_ts, domain, is_purchase,
+             regexp_extract(cspan, '{PERSON_EMAIL_RE}', 1) || '-'
+               || regexp_extract(cspan, '{PERSON_EMAIL_RE}', 2) AS person_slug,
+             upper(substr(regexp_extract(cspan, '{PERSON_EMAIL_RE}', 1), 1, 1))
+               || substr(regexp_extract(cspan, '{PERSON_EMAIL_RE}', 1), 2)
+               || ' '
+               || upper(substr(regexp_extract(cspan, '{PERSON_EMAIL_RE}', 2), 1, 1))
+               || substr(regexp_extract(cspan, '{PERSON_EMAIL_RE}', 2), 2)
+               AS person_name
+      FROM cmail WHERE regexp_matches(cspan, '{PERSON_EMAIL_RE}')
+    ),
+    pinst AS (
+      SELECT DISTINCT t.url, mp.canonical_id AS org_canon
+      FROM typed t
+      JOIN mapping mp ON t.entity_id = mp.entity_id
+      JOIN (SELECT canonical_id, max(rank) AS rnk FROM cranked
+            GROUP BY canonical_id) cr
+        ON cr.canonical_id = mp.canonical_id AND cr.rnk = 3
+      WHERE t.url IN (SELECT url FROM cpe)
+    ),
+    fedges AS (
+      SELECT DISTINCT c.url,
+             coalesce(mp.canonical_id, c.person_slug) AS member_canon,
+             'funcionario' AS role, pi.org_canon, c.is_purchase
+      FROM cpe c
+      JOIN pinst pi ON pi.url = c.url
+      LEFT JOIN mapping mp ON mp.entity_id = c.person_slug
+    ),
+    medges_all AS (
+      SELECT url, member_canon, role, org_canon, is_purchase FROM medges
+      UNION ALL
+      SELECT url, member_canon, role, org_canon, is_purchase FROM fedges
+    ),
+    cpnew AS (
+      SELECT person_slug AS canonical_id,
+             min(person_name) AS name,
+             1 AS rank,
+             [min(person_name)] AS all_names,
+             [person_slug] AS alias_slugs,
+             CAST(NULL AS VARCHAR) AS subtype,
+             CAST(0 AS BIGINT) AS mentions,
+             CAST(count(DISTINCT url) AS BIGINT) AS pages,
+             min(warc_ts) AS first_seen,
+             max(warc_ts) AS last_seen,
+             list_sort(list_distinct(list(domain))) AS sources
+      FROM cpe
+      WHERE person_slug NOT IN (SELECT entity_id FROM mapping)
+      GROUP BY person_slug
+    ),
+    canon2 AS (
+      SELECT canonical_id, name, rank, all_names, alias_slugs, subtype,
+             mentions, pages, first_seen, last_seen, sources
+      FROM canon
+      UNION ALL
+      SELECT canonical_id, name, rank, all_names, alias_slugs, subtype,
+             mentions, pages, first_seen, last_seen, sources
+      FROM cpnew
     ),
     as_member AS (
       SELECT member_canon AS canonical_id,
@@ -2681,14 +2829,26 @@ def _kg_entities_oracle_sql() -> str:
                       THEN 1 ELSE 0 END) AS BIGINT) AS n_presidente,
              CAST(sum(CASE WHEN role = 'gerente' THEN 1 ELSE 0 END) AS BIGINT)
                AS n_gerente,
+             CAST(sum(CASE WHEN role = 'funcionario' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_funcionario,
+             CAST(sum(CASE WHEN role = 'funcionario' AND NOT is_purchase
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_funcionario_contract,
+             CAST(sum(CASE WHEN role = 'funcionario' AND is_purchase
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_funcionario_purchase,
+             CAST(sum(CASE WHEN role IN ('presidente', 'presidenta')
+                      AND NOT is_purchase
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_presidente_contract,
+             CAST(sum(CASE WHEN role IN ('presidente', 'presidenta')
+                      AND is_purchase
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_presidente_purchase,
              min(CASE WHEN org_canon <> member_canon THEN org_canon END)
                AS parent_id
-      FROM medges GROUP BY member_canon
+      FROM medges_all GROUP BY member_canon
     ),
     as_parent AS (
       SELECT org_canon AS canonical_id,
              CAST(count(DISTINCT member_canon) AS BIGINT) AS member_count
-      FROM medges GROUP BY org_canon
+      FROM medges_all GROUP BY org_canon
     ),
     statedim(state_name, iso_code, name_slug) AS (VALUES {statedim}),
     ia AS (
@@ -2708,6 +2868,10 @@ def _kg_entities_oracle_sql() -> str:
            c.name,
            CASE c.rank WHEN 3 THEN 'institution'
                        WHEN 2 THEN 'company' ELSE 'person' END AS entity_type,
+           CASE c.rank WHEN 3 THEN 'institution'
+                       WHEN 2 THEN 'company' ELSE 'person' END
+             || CASE WHEN coalesce(am.n_funcionario, 0) > 0
+                     THEN ',funcionario' ELSE '' END AS classification,
            coalesce(
              CASE WHEN c.rank = 3 THEN
                CASE WHEN split_part(c.canonical_id, '-', 1) = 'banco' THEN 'banco'
@@ -2727,7 +2891,17 @@ def _kg_entities_oracle_sql() -> str:
            END AS gov_level,
            array_to_string(list_sort(list_distinct(
              [s || '|slug' for s in c.alias_slugs]
-             || [d || '|domain' for d in c.sources])), ',') AS identifiers,
+             || [d || '|domain' for d in c.sources]
+             || (CASE WHEN c.rank = 3
+                 AND len(list_filter(string_split(c.canonical_id, '-'),
+                     t -> t NOT IN ('de','del','la','las','los','y','e')
+                          AND regexp_matches(t, '^[a-z]'))) >= 2
+                 THEN [array_to_string(list_transform(
+                        list_filter(string_split(c.canonical_id, '-'),
+                          t -> t NOT IN ('de','del','la','las','los','y','e')
+                               AND regexp_matches(t, '^[a-z]')),
+                        t -> substr(t, 1, 1)), '') || '|initials']
+                 ELSE CAST([] AS VARCHAR[]) END))), ',') AS identifiers,
            coalesce(array_to_string(
              list_sort(list_filter(c.all_names, x -> x <> c.name)), ','
            ), '') AS other_names,
@@ -2736,11 +2910,16 @@ def _kg_entities_oracle_sql() -> str:
            coalesce(am.n_titular, 0) AS n_titular,
            coalesce(am.n_presidente, 0) AS n_presidente,
            coalesce(am.n_gerente, 0) AS n_gerente,
+           coalesce(am.n_funcionario, 0) AS n_funcionario,
+           coalesce(am.n_funcionario_contract, 0) AS n_funcionario_contract,
+           coalesce(am.n_funcionario_purchase, 0) AS n_funcionario_purchase,
+           coalesce(am.n_presidente_contract, 0) AS n_presidente_contract,
+           coalesce(am.n_presidente_purchase, 0) AS n_presidente_purchase,
            coalesce(ap.member_count, 0) AS members,
            array_to_string(c.sources, ',') AS sources,
            strftime(c.first_seen, '{TS_FMT_DUCK}') AS first_seen,
            strftime(c.last_seen, '{TS_FMT_DUCK}') AS last_seen
-    FROM canon c
+    FROM canon2 c
     LEFT JOIN as_member am ON am.canonical_id = c.canonical_id
     LEFT JOIN as_parent ap ON ap.canonical_id = c.canonical_id
     LEFT JOIN regions rg ON rg.canonical_id = c.canonical_id
@@ -2767,11 +2946,13 @@ def q_kg_pipeline_entities(spark, sf_dir):
         res.member_edges,
         contact_edges=None,
         inst_regions=res.inst_regions,
+        contact_persons=res.contact_persons,
     )
     return d.select(
         "id",
         "name",
         "entity_type",
+        F.array_join("classification", ",").alias("classification"),
         F.array_join("subclassification", ",").alias("subclassification"),
         "parent_id",
         "gov_level",
@@ -2792,6 +2973,19 @@ def q_kg_pipeline_entities(spark, sf_dir):
         F.col("counters.membership_count.titular").alias("n_titular"),
         F.col("counters.membership_count.presidente").alias("n_presidente"),
         F.col("counters.membership_count.gerente").alias("n_gerente"),
+        F.col("counters.membership_count.funcionario").alias("n_funcionario"),
+        F.col("counters.contract_count.funcionario").alias(
+            "n_funcionario_contract"
+        ),
+        F.col("counters.purchase_count.funcionario").alias(
+            "n_funcionario_purchase"
+        ),
+        F.col("counters.contract_count.presidente").alias(
+            "n_presidente_contract"
+        ),
+        F.col("counters.purchase_count.presidente").alias(
+            "n_presidente_purchase"
+        ),
         F.col("counters.members").alias("members"),
         F.array_join("sources", ",").alias("sources"),
         F.date_format("first_seen", TS_FMT_SPARK).alias("first_seen"),

@@ -188,6 +188,94 @@ def test_upsert_drained_partition_deleted(spark, tmp_path):
     assert sorted(rows) == [("a", "p2", 2, "v1moved"), ("c", "p2", 1, "v3")]
 
 
+def test_upsert_drained_partition_deleted_hive_escaped(spark, tmp_path):
+    """Drained-partition cleanup must find the REAL directory name Spark
+    wrote: partition values with space/':' are Hive-%-escaped on disk, and
+    boolean values render 'true', not Python's 'True'. The round-4 cleanup
+    built the path with str(value) and ignore_errors — for any such value
+    the rmtree silently missed and the stale rows survived."""
+    from ocds_entity_extract_spark.materialize import upsert_table
+    from ocds_entity_extract_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    weird = "crawl 2025:a%b"                      # space, colon, percent
+    base = spark.createDataFrame(
+        [("a", weird, True, 1, "v1"), ("c", "p2", False, 1, "v3")],
+        "id string, part string, flag boolean, ver int, val string",
+    )
+    upsert_table(cat, "t", base, ["id"], "ver", partition_by=["part", "flag"])
+
+    moved = spark.createDataFrame(
+        [("a", "p2", False, 2, "v1moved")],       # drains the escaped part
+        "id string, part string, flag boolean, ver int, val string",
+    )
+    upsert_table(cat, "t", moved, ["id"], "ver", partition_by=["part", "flag"])
+
+    rows = [
+        (r["id"], r["part"], str(r["flag"]).lower(), r["ver"], r["val"])
+        for r in cat.read("t").collect()
+    ]
+    # flag reads back as STRING 'false' (Spark partition-column type
+    # inference has no boolean case) — normalized here; the point under
+    # test is that the 'true' directory of the drained escaped partition
+    # is gone, which requires the cleanup to have matched Spark's
+    # lowercase-bool, %-escaped directory rendering
+    assert sorted(rows) == [
+        ("a", "p2", "false", 2, "v1moved"), ("c", "p2", "false", 1, "v3"),
+    ]
+    # the escaped directory itself is gone from disk
+    import glob
+    import os
+
+    dirs = glob.glob(os.path.join(cat.path("t"), "part=*"))
+    assert all("crawl" not in d for d in dirs), dirs
+
+
+def test_upsert_assume_immutable_partitions_skips_probe(spark, tmp_path):
+    """assume_immutable_partitions=True (append-only facts): same result as
+    the probing path when no key moves partitions — and the table-wide
+    moved-key scan never runs (observable: a key that DOES move, violating
+    the promise, leaves its stale row behind, which is exactly the
+    documented contract)."""
+    from ocds_entity_extract_spark.materialize import upsert_table
+    from ocds_entity_extract_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [("a", "p1", 1, "v1"), ("c", "p2", 1, "v3")],
+        "id string, part string, ver int, val string",
+    )
+    upsert_table(cat, "t", base, ["id"], "ver", partition_by=["part"])
+
+    # in-place update (no partition move): identical to the probing path
+    upd = spark.createDataFrame(
+        [("a", "p1", 2, "v2"), ("d", "p2", 1, "v4")],
+        "id string, part string, ver int, val string",
+    )
+    upsert_table(
+        cat, "t", upd, ["id"], "ver", partition_by=["part"],
+        assume_immutable_partitions=True,
+    )
+    rows = [(r["id"], r["part"], r["ver"], r["val"]) for r in cat.read("t").collect()]
+    assert sorted(rows) == [
+        ("a", "p1", 2, "v2"), ("c", "p2", 1, "v3"), ("d", "p2", 1, "v4"),
+    ]
+
+    # violated promise: the moved key's old row is NOT cleaned (contract)
+    mv = spark.createDataFrame(
+        [("a", "p2", 3, "v3moved")],
+        "id string, part string, ver int, val string",
+    )
+    upsert_table(
+        cat, "t", mv, ["id"], "ver", partition_by=["part"],
+        assume_immutable_partitions=True,
+    )
+    ids = sorted(
+        (r["id"], r["part"]) for r in cat.read("t").collect()
+    )
+    assert ("a", "p1") in ids and ("a", "p2") in ids  # duplicated, as documented
+
+
 def test_compact_partitioned_reduces_files(spark, tmp_path):
     """compact_table with partition_by must not multiply files (the old
     round-robin repartition wrote up to n_files x n_partitions)."""
