@@ -30,7 +30,7 @@ def entry(spark: SparkSession) -> DataFrame:
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     triples = build_triples(spark, _kg_template_pages(docs)).triples
     # predicate-coverage smoke (opt-in via SPARK_GRAFT_ENTRY_SMOKE=1; also
-    # pytest-run in tests/test_cli.py): every emitted edge family must be
+    # pytest-run in tests/test_entry_contract.py): every emitted edge family must be
     # present — a template regression that silently drops one (e.g.
     # products) fails loudly. Off by default so entry() keeps its lazy
     # contract (harnesses time/re-execute the returned frame).

@@ -7,6 +7,29 @@ with `spark.sql.catalog.<name> = org.apache.iceberg.spark.SparkCatalog`
 configured, `Catalog(spark, root, fmt="iceberg")` routes every call through
 `DataFrameWriterV2` unchanged.
 
+HONESTY LEDGER — which emulation pieces the real Iceberg replaces
+outright (they lean on the parquet DIRECTORY layout and exist only
+because plain parquet has no table metadata or snapshots):
+
+- `materialize.upsert_table` (read + latest-wins + dynamic overwrite +
+  explicit drained-directory delete + localCheckpoint-as-isolation)
+  -> `MERGE INTO t USING u ON keys ...` — one transactional statement;
+  the moved-key probe, the drained-partition rmtree and the
+  `_delete_partition_dirs` Hive-unescape walk all disappear (Iceberg
+  tracks files in metadata, never lists directories, and commits
+  snapshots atomically, so there is no read-your-own-overwrite hazard).
+- `materialize.compact_table` -> `CALL system.rewrite_data_files` —
+  snapshot-isolated, no localCheckpoint, no glob-based sizing.
+- `overwrite_partitions` (partitionOverwriteMode=dynamic)
+  -> `writeTo(t).overwritePartitions()` — same semantics, transactional.
+- `exists` (directory probe) -> catalog metadata lookup.
+
+What does NOT change with the swap: every plan in plans/ and operators/
+(they only consume DataFrames), the lineage/metrics rows, the content-hash
+ids, and the incremental-resume logic in streaming/incremental.py (its
+anti-join resume is layout-independent; only its writes get transactional
+for free).
+
 Sink semantics mapped from the reference:
 - `replace_table`  ≙ drop-and-recreate sink prep (reference index.js:63-73)
 - `append`         ≙ ordered bulkWrite append (reference insert.js:3-45)
