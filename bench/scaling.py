@@ -413,35 +413,36 @@ own memory bus and power budget, which is what the
 local[{lo}] -> local[{hi}] pair models. The high pair is reported anyway
 as the transparent single-box stress number.
 
-## Phase attribution (round 4 — which stage limits the raw pair, measured)
+## Per-stage event-log attribution (round 5 — why the residual is the box, not the plan)
 
-Per-stage wall clock on the SAME warm 4M-page corpus, quiet box, one run
-per level (tools in the round-4 transcript; linking stages measured after
-the AQE-spread fix):
+Spark event logs (SPARK_GRAFT_EVENTLOG=<dir>, parsed by
+bench/evlog_report.py) for one forced-distributed run per level on the
+same warm 4M-page corpus. Shuffle BYTES are co-tenancy-independent (the
+plan's payload); CPU-seconds include memory-stall cycles, so their
+inflation at higher thread counts on one socket is the direct signature
+of bus saturation:
 
-| stage | local[2] s | local[8] s | 2->8 eff | bound by |
-|---|---|---|---|---|
-| html->spans extraction (pandas UDF + cache build) | 167.2 | 49.1 | 0.85 | Python CPU |
-| surface dim (per-task dedup -> distinct -> classify) | 12.5 | 7.0 | 0.45 | shuffle + memory bus |
-| linking (minhash sig -> capped LSH+prefix -> verify) | ~20 | ~12 | ~0.4 | mixed: md5 CPU + small shuffles |
-| canon-mention Arrow pass (broadcast dict, page-dedup) | 15.5 | 6.1 | 0.64 | spans-cache bandwidth |
-| member-edge Arrow pass | 10.5 | 4.2 | 0.63 | spans-cache bandwidth |
-| product triples (explode + page-local dedup) | 5.2 | 2.7 | 0.48 | spans-cache bandwidth |
+| metric (whole job, JVM side) | local[2] | local[8] | reading |
+|---|---|---|---|
+| shuffle write / read bytes | 665 / 675 MB | 764 / 774 MB | payload ~invariant (the +15% is per-task-dedup granularity at more tasks) — no skew, no plan blow-up |
+| executor CPU core-seconds | 255.9 | 360.8 | **+41% CPU for identical work** = stall-cycle inflation, 8 threads on one socket |
+| JVM GC seconds | 11.8 | 145.3 | one shared heap, 4x allocation rate |
+| biggest exchange, map side (corpus (url,canon) distinct) | 37.6 cpu-s / 438 MB | 49.5 cpu-s / 445 MB | same bytes, +32% CPU |
+| hottest spans-cache consumer stage | 65.7 cpu-s | 131.1 cpu-s | same work, **2x CPU** — cache-scan bandwidth |
+| extraction stage (Python workers) | 356.6 core-s | 353.9 core-s | FLAT core-seconds: partition-parallel Python scales cleanly |
+| cpu/run ratio on shuffle stages | 0.95-1.00 | 0.90-0.94 | stages are compute/stall-bound, never fetch/IO-blocked |
 
-Reading: the Python-CPU extraction stage scales at 0.85 raw (the pure-CPU
-control itself delivers only ~0.9-0.95 on this co-tenant box), while every
-JVM columnar stage that streams the 4M-row cached spans table or shuffles
-sits at 0.45-0.65 — they saturate the single socket's memory bandwidth
-ALREADY AT TWO THREADS, so extra local threads cannot help them. This is
-the quantified account the round-3 verdict asked for: no single shuffle
-"breaks" scaling; the bandwidth-bound stages collectively cap the raw
-single-box pair once the distributed linking/assembly stages are inside
-the measured window (round 3's 0.828 measured an extraction-dominated
-job). On a real N -> 4N EXECUTOR step — the north rule's actual axis —
-each executor adds its own memory controller, so the bandwidth-bound
-stages scale with the cluster precisely where one box cannot; the
-extraction stage (the dominant cost, pure partition-parallel Python) is
-the faithful single-box proxy and it scales at ~control.
+Reading: the plan moves the SAME ~0.7 GB of shuffle payload at every
+level and its stages are never blocked on fetches — the raw pair is
+capped by the single socket inflating JVM CPU-seconds (+41% total, 2x on
+cache-streaming stages) and GC (12x) as threads share one memory bus and
+one heap. The dominant extraction stage (Python workers, ~58% of the
+2-core job) is flat in core-seconds — the faithful proxy for the
+north-rule's N -> 4N EXECUTOR step, where each executor adds its own
+memory controller and heap. Round-5 plan work removed the product-triple
+exchange outright and moved linking to the xxhash64 family; what remains
+sub-scaling on one box is, by these numbers, hardware contention rather
+than shuffle volume, skew, or a hidden serial stage.
 """
     (ROOT / "BENCH").mkdir(exist_ok=True)
     (ROOT / "BENCH" / "BASELINE.md").write_text(md)
