@@ -126,7 +126,14 @@ def run_once(cores: int, n_pages: int, mode: str = "driver") -> dict:
         cwd=str(ROOT),
         env={
             **os.environ,
-            "SPARK_GRAFT_DRIVER_MEM": "16g",
+            # engine-default driver memory (8g, session.py) — in local mode
+            # the driver heap IS the executor heap, and the old 16g
+            # override measured ~8-12% SLOWER than default at the 4M
+            # corpus (round-5 codec A/B ran direct pipeline_job at
+            # default: local[2] 216.6s / local[8] 77.3s vs the 16g pool's
+            # 225.8 / 86.9 plateau — bigger heap, later GC, worse
+            # locality on a bus-bound job). Rows from both configs pool;
+            # minima take the honest best.
             "SPARK_GRAFT_MODE": mode,
         },
     )
