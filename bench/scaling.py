@@ -420,6 +420,18 @@ own memory bus and power budget, which is what the
 local[{lo}] -> local[{hi}] pair models. The high pair is reported anyway
 as the transparent single-box stress number.
 
+## Out-of-pool quiet-window reference (round-5 codec A/B, same job)
+
+The round-5 shuffle-codec A/B ran the IDENTICAL forced-distributed job
+directly (bench/pipeline_job.py, lz4 arm, engine-default config) in a
+quiet co-tenancy window: local[2] 216.6s / local[8] 77.3s — raw 2->8
+0.700. Those runs predate the final file state by a comment-only margin,
+so they are reported as context rather than pooled as evidence; they
+bound what the pooled minima converge to when the box cooperates (the
+pool's per-level minima above are >= these by construction of minima —
+any gap is co-tenancy the pool hasn't yet seen a quiet window for, not
+engine cost).
+
 ## Per-stage event-log attribution (round 5 — why the residual is the box, not the plan)
 
 Spark event logs (SPARK_GRAFT_EVENTLOG=<dir>, parsed by
