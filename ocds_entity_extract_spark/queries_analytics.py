@@ -533,20 +533,32 @@ def q_corpus_curation(spark, sf_dir):
     hash split -> per-(split, lang) accounting.
 
     Plan shape at 100 TB: the filter and fingerprint are scan-local; the
-    dedup is the only corpus-sized shuffle (partial-aggregated on the
-    fingerprint); the split/accounting agg rides the tiny dedup output.
-    Every stage reuses the operators verified individually
-    (quality_scores, doc_fingerprints, dataset_split) — this query pins
-    their COMPOSITION under one value hash."""
-    from pyspark.sql.window import Window
-
+    dedup is the only corpus-sized shuffle, and it is a pure
+    HASH aggregation (`min_by` first-wins, exactly the reference's
+    keep-lowest-id rule), not a row_number window — partial aggregation
+    collapses duplicate fingerprints map-side so the wire carries one
+    partial per (task, distinct fp), and no task ever SORTS its partition.
+    Two formulations were rejected by `.explain` + measurement (round 5):
+    the window (shuffles EVERY surviving row, full sort on fp) and
+    `min_by(struct(...))` (a struct buffer is not hash-agg-able, Spark
+    silently falls back to SortAggregate on both sides of the exchange).
+    The string winner column (`lang`) would force the same fallback, so
+    it is dictionary-encoded to an int64 (`xxhash64`) for the agg and
+    decoded afterwards with a broadcast of the distinct-lang dim — the
+    dim scan prunes to the one tiny column, and a 64-bit hash over a
+    bounded lang-tag vocabulary cannot realistically collide (<1e-11 at
+    1e4 tags; the sf0.01 value-hash oracle would catch one regardless).
+    The split/accounting agg rides the tiny dedup output. Every stage
+    reuses the operators verified individually (quality_scores,
+    doc_fingerprints, dataset_split) — this query pins their COMPOSITION
+    under one value hash."""
     d = _t(spark, sf_dir, "documents")
     n_tok = F.size(F.split(F.col("text"), r"\s+")).cast("bigint")
     from ocds_entity_extract_spark.functions.text import collapse_ws
 
     scored = d.select(
         "doc_id",
-        "lang",
+        F.xxhash64("lang").alias("lang_code"),
         "n_chars",
         n_tok.alias("n_tokens"),
         F.sha2(F.lower(collapse_ws("text")), 256).alias("fp"),
@@ -555,12 +567,18 @@ def q_corpus_curation(spark, sf_dir):
         (F.col("n_tokens") >= 20)
         & (F.col("n_chars").cast("double") / F.col("n_tokens") <= 12)
     )
+    lang_dim = d.select("lang").distinct().withColumn(
+        "lang_code", F.xxhash64("lang")
+    )
     deduped = (
-        filtered.withColumn(
-            "_rn",
-            F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")),
+        filtered.groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("lang_code", "doc_id").alias("lang_code"),
+            F.min_by("n_tokens", "doc_id").alias("n_tokens"),
         )
-        .filter(F.col("_rn") == 1)
+        .join(F.broadcast(lang_dim), "lang_code")
+        .select("doc_id", "lang", "n_tokens")
     )
     split = F.when(
         F.pmod(
