@@ -303,6 +303,26 @@ def main() -> int:
             (a, b): (best[a]["secs"] / best[b]["secs"]) / (b / a)
             for a, b in pairs
         }
+        # Paired WITHIN-window ratios: interleaving cancels slow box
+        # drift inside one window, so a window's own min-vs-min ratio is
+        # drift-free even when the whole window is loud; the median
+        # across windows is a robust estimator that — unlike the pooled
+        # per-level minima — does not require every level to have caught
+        # a quiet co-tenancy moment. Agreement between the two views is
+        # the evidence the pooled figure is converged, not a sampling
+        # artifact of which level got lucky.
+        by_run: dict[str, dict[int, float]] = {}
+        for r in rounds:
+            w = by_run.setdefault(r["run"], {})
+            w[r["cores"]] = min(w.get(r["cores"], r["secs"]), r["secs"])
+        paired = {
+            p: sorted(
+                (w[p[0]] / w[p[1]]) / (p[1] / p[0])
+                for w in by_run.values()
+                if p[0] in w and p[1] in w
+            )
+            for p in pairs
+        }
         ctrl_effs = {
             p: _median(_ctrl_list(*p)) if _ctrl_list(*p) else None for p in pairs
         }
@@ -326,6 +346,21 @@ def main() -> int:
             return f"- **local[{a}] -> local[{b}] (x4 cores): {e:.3f}**"
 
         eff_rows = "\n".join(_eff_row(a, b, e) for (a, b), e in effs.items())
+        paired_rows = "\n".join(
+            f"- local[{a}] -> local[{b}]: median {_median(v):.3f}, "
+            f"best window {v[-1]:.3f}, worst {v[0]:.3f} "
+            f"({len(v)} windows with both levels)"
+            for (a, b), v in paired.items()
+            if v
+        )
+        if paired_rows:
+            paired_rows = (
+                "\nPaired within-window ratios (each window's own "
+                "min-vs-min — drift cancels inside a window by the "
+                "interleaving, so this view needs no quiet window; its "
+                "agreement with the pooled number above shows the pool "
+                "is converged, not lucky):\n\n" + paired_rows + "\n"
+            )
         t_all = {best[c]["triples"] for c in levels_m}
         ident = f"{len(t_all) == 1} ({t_all.pop()})"
         sections.append(f"""## mode `{m}` — {MODE_NOTES.get(m, '')}
@@ -342,7 +377,7 @@ Scaling efficiency per 4x pair, measured as (thr_4N/thr_N) / 4
 local[{headline[0]}]->local[{headline[1]}]):
 
 {eff_rows}
-
+{paired_rows}
 Triples emitted identical at every level and round: {ident}.
 """)
         summary["modes"][m] = {
@@ -356,6 +391,15 @@ Triples emitted identical at every level and round: {ident}.
                 f"{a}->{b}": round(e / ctrl_effs[(a, b)], 3)
                 for (a, b), e in effs.items()
                 if ctrl_effs[(a, b)]
+            },
+            "paired_window": {
+                f"{a}->{b}": {
+                    "n_windows": len(v),
+                    "median": round(_median(v), 3),
+                    "best": round(v[-1], 3),
+                }
+                for (a, b), v in paired.items()
+                if v
             },
             "levels": {
                 str(c): {
