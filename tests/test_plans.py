@@ -113,3 +113,22 @@ def test_percentile_approx_within_tolerance(spark):
         for c in ("p50", "p90", "p99"):
             rel = abs(a[c] - e[c]) / max(abs(e[c]), 1e-9)
             assert rel <= 0.01, (et, c, e[c], a[c])
+
+
+def test_corpus_curation_dedup_is_pure_hash_agg(spark, sf_dir):
+    """The curation dedup (keep lowest doc_id per fingerprint) must plan
+    as HashAggregate with map-side partials — NOT a row_number window
+    (shuffles every surviving row, sorts each reducer partition) and NOT
+    a min_by(struct) (whose struct buffer silently falls back to
+    SortAggregate on both sides of the exchange). The string winner
+    column is dictionary-encoded to int64 for the agg and decoded via a
+    broadcast of the distinct-lang dim (round-5 rewrite; the A/B is in
+    the query docstring)."""
+    from ocds_entity_extract_spark.queries_analytics import q_corpus_curation
+
+    plan = plan_of(q_corpus_curation(spark, sf_dir))
+    assert "SortAggregate" not in plan
+    assert "Window" not in plan
+    assert "- Sort" not in plan  # no sort anywhere in the tree
+    assert "BroadcastHashJoin" in plan  # lang decode is map-side
+    assert plan.count("partial_min_by") >= 1  # map-side combine present
