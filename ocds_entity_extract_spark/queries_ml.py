@@ -303,6 +303,94 @@ def q_top_ngrams(spark, sf_dir):
 
 
 @query(
+    "tfidf_top_terms",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks WHERE term <> '' GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6)
+               AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf FROM scored
+    QUALIFY row_number() OVER (
+      PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+    ) <= 3
+    """,
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 salient terms by smooth tf-idf
+    (tf * (ln((N+1)/(df+1)) + 1)) — the classic curation statistic behind
+    stop-word discovery, keyword extraction and topic-drift monitoring
+    over a training corpus.
+
+    Plan shape at 100 TB: token explode is narrow; tf is ONE
+    partial-aggregated hash agg on (doc_id, term); df re-aggregates the
+    (already vocab x docs-bounded) tf table on term — both exchanges
+    carry partials, never raw tokens. N rides in as a 1-row broadcast
+    (cross join of an aggregate, the scalar-subquery shape). The tf⋈df
+    join keys on term: df is vocab-sized (Zipf-bounded ≪ corpus), so AQE
+    picks broadcast at any realistic vocab and a shuffle join beyond it.
+    The final top-k is a per-document window whose fan-in is bounded by
+    per-doc vocabulary — a local k-select, not a global sort. Scores are
+    rounded to 6dp BEFORE ranking (ties broken by term) so the ordering
+    is reproducible across engines/libm versions — the same determinism
+    discipline as the md5-derived hash family (functions/phash)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1.0))
+                        / (F.col("df") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .drop("_rn")
+    )
+
+
+@query(
     "dedup_incremental",
     f"""
     WITH pairs AS ({_minhash_docs_oracle_sql()}),
