@@ -47,6 +47,7 @@ HEADLINE = [
     "events_sessionize",
     "asof_join_events",
     "corpus_curation",
+    "tfidf_top_terms",
 ]
 
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "60000"))
