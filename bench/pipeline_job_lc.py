@@ -95,6 +95,19 @@ def main() -> None:
             # serializes module-level UDF helpers by reference) — same role
             # as --py-files on a real cluster (bench/submit.sh)
             "spark.executorEnv.PYTHONPATH": ROOT,
+            # size every core-count-derived pool inside the executor JVM by
+            # the executor's OWN slot count, not the machine's 32 cores —
+            # exactly what a cgroup/cpuset-limited container presents on a
+            # real cluster. Without this each executor spawns ~25 ParallelGC
+            # threads (plus netty/parquet pools sized at 32), so 4 executors
+            # stampede 100+ GC threads onto 8 task cores during the
+            # allocation-heavy spans-cache build (measured: stage-7 GC 389s
+            # at 4x2 vs 12s in the one-JVM local[8] run of the same job).
+            "spark.executor.extraJavaOptions": (
+                "-XX:+UseParallelGC "
+                f"-XX:ActiveProcessorCount={cores_per_exec} "
+                f"-XX:ParallelGCThreads={max(2, cores_per_exec)}"
+            ),
             "spark.sql.files.maxPartitionBytes": str(split),
             "spark.sql.files.openCostInBytes": str(128 * 1024),
             "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(advisory),
